@@ -1,0 +1,130 @@
+"""Sparse convolution compute primitives: gather-GEMM-scatter on padded buffers.
+
+TPU-native replacement for `MinkowskiConvolution` / `MinkowskiConvolutionTranspose`
+(reference `models/minkunet.py:62-132`) and the spconv/torchsparse kernels of
+the Cylinder3D path.  All functions take fixed-capacity padded feature buffers
+plus plan arrays from `gcdlss_tpu.ops.plan`; invalid rows are zeros and every
+op preserves that invariant.
+
+Design notes (MXU-first):
+  * Submanifold k=3 conv: `lax.scan` over the 27 kernel offsets; each step is a
+    row-gather plus an [N, Ci] x [Ci, Co] matmul — large, static, MXU-tileable.
+    The gathered operand is recomputed in backward (scatter-add adjoint), so
+    peak memory stays O(N*Ci).
+  * k2s2 down conv: one wide matmul [N, Ci] x [Ci, 8*Co], per-row selection of
+    the parent's kernel-offset slice, then a segment-sum into the coarse level.
+  * k2s2 transpose (up) conv: gather coarse parent features, one wide matmul,
+    per-row slice selection. Exactly one parent exists per fine voxel, so no
+    neighbor search is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_conv(
+    feats: jax.Array,
+    nbr: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Submanifold sparse conv: out[i] = sum_k W[k] @ feats[nbr[i, k]].
+
+    Args:
+      feats: [N, Ci] padded features (invalid rows must be 0).
+      nbr: [N, K] neighbor row indices, -1 where absent.
+      weight: [K, Ci, Co].
+      bias: optional [Co].
+    Returns [N, Co] (invalid rows stay 0 iff their nbr rows are -1/zeros; callers
+    re-mask after bias-adds).
+    """
+    n, ci = feats.shape
+    k = nbr.shape[1]
+    co = weight.shape[2]
+    dt = compute_dtype or feats.dtype
+    w = weight.astype(dt)
+    x = feats.astype(dt)
+
+    def step(acc, inp):
+        nbr_k, w_k = inp
+        safe = jnp.where(nbr_k >= 0, nbr_k, 0)
+        g = x[safe] * (nbr_k >= 0)[:, None].astype(dt)
+        return acc + jnp.dot(g, w_k, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((n, co), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (nbr.T, w))
+    out = acc
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(feats.dtype)
+
+
+def down_conv(
+    feats: jax.Array,
+    parent: jax.Array,
+    dcode: jax.Array,
+    weight: jax.Array,
+    cap_out: int,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Strided k=2 s=2 sparse conv (fine level -> coarse level).
+
+    Args:
+      feats: [Nf, Ci] fine features (invalid rows 0).
+      parent: [Nf] coarse row per fine voxel (cap_out where invalid).
+      dcode: [Nf] int in [0,8): kernel offset code of this voxel w.r.t. parent.
+      weight: [8, Ci, Co].
+      cap_out: coarse capacity.
+    Returns [cap_out, Co].
+    """
+    ci = feats.shape[1]
+    co = weight.shape[2]
+    wide = weight.transpose(1, 0, 2).reshape(ci, 8 * co)  # [Ci, 8*Co]
+    h = jnp.dot(feats, wide, preferred_element_type=jnp.float32)
+    h = h.reshape(-1, 8, co)
+    h = jnp.take_along_axis(h, dcode[:, None, None], axis=1)[:, 0, :]
+    seg = jnp.clip(parent, 0, cap_out)
+    out = jax.ops.segment_sum(h, seg, num_segments=cap_out + 1)[:cap_out]
+    if bias is not None:
+        out = out + bias
+    return out.astype(feats.dtype)
+
+
+def up_conv(
+    coarse_feats: jax.Array,
+    parent: jax.Array,
+    dcode: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Transpose k=2 s=2 sparse conv (coarse level -> existing fine coords).
+
+    Args:
+      coarse_feats: [Nc, Ci] (invalid rows 0).
+      parent/dcode: the same PoolPlan arrays used by the down conv at this edge.
+      weight: [8, Ci, Co].
+    Returns [Nf, Co].
+    """
+    nc, ci = coarse_feats.shape
+    co = weight.shape[2]
+    safe = jnp.where(parent < nc, parent, 0)
+    g = coarse_feats[safe] * (parent < nc)[:, None].astype(coarse_feats.dtype)
+    wide = weight.transpose(1, 0, 2).reshape(ci, 8 * co)
+    h = jnp.dot(g, wide, preferred_element_type=jnp.float32).reshape(-1, 8, co)
+    out = jnp.take_along_axis(h, dcode[:, None, None], axis=1)[:, 0, :]
+    if bias is not None:
+        out = out + bias
+    return out.astype(coarse_feats.dtype)
+
+
+def masked_batch_norm_stats(x: jax.Array, valid: jax.Array):
+    """Mean/var over valid rows only. Returns (mean [C], var [C] biased, count)."""
+    m = valid[:, None].astype(x.dtype)
+    cnt = jnp.maximum(jnp.sum(valid.astype(x.dtype)), 1.0)
+    mean = jnp.sum(x * m, axis=0) / cnt
+    var = jnp.sum(jnp.square(x - mean) * m, axis=0) / cnt
+    return mean, var, cnt

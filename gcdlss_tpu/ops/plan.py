@@ -1,0 +1,155 @@
+"""UNet sparse-convolution plan: per-level coordinates + kernel maps.
+
+MinkowskiEngine builds kernel maps lazily in its C++ coordinate manager, one
+hash lookup per (offset, stride) pair, per conv call.  On TPU we instead build
+the *entire* network's rulebooks once per batch in a single jitted pass — the
+maps depend only on coordinates, so teacher forward, student forward and the
+backward pass all reuse the same plan (3× reuse per step; more with LaserMix).
+
+Topology covered (MinkUNet34, reference `models/minkunet.py:59-132`):
+  * level 0 (stride 1): stem conv k=5 (125 offsets) + decoder block8 k=3.
+  * levels 1..4 (strides 2,4,8,16): residual blocks k=3 (27 offsets).
+  * 4 strided convs k=2 s=2 down, 4 transpose convs k=2 s=2 up.
+
+k2s2 convolutions have special structure we exploit: every fine voxel has
+exactly one coarse parent (`c >> 1`) and a 3-bit offset code (`c & 1` per
+axis), so the down conv is one wide matmul + segment-sum and the up (transpose)
+conv is a gather + per-row weight selection — no neighbor search at all.
+Coordinates are stored in *stride units*, so pooling is always `>> 1`.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coords import (
+    SENTINEL_HI,
+    SENTINEL_LO,
+    encode_coords,
+    sorted_unique,
+    lookup_sorted,
+    decode_keys,
+)
+
+
+def _offsets(k: int) -> np.ndarray:
+    r = range(-(k // 2), k // 2 + 1)
+    return np.array(list(itertools.product(r, r, r)), dtype=np.int32)
+
+
+KERNEL_OFFSETS_3 = _offsets(3)  # [27, 3]
+KERNEL_OFFSETS_5 = _offsets(5)  # [125, 3]
+
+
+class LevelPlan(NamedTuple):
+    coords: jax.Array  # [cap, 4] int32 (b,x,y,z) in stride units
+    valid: jax.Array  # [cap] bool
+    count: jax.Array  # int32 scalar
+    nbr3: jax.Array  # [cap, 27] int32 neighbor rows for k=3 subm conv (-1 absent)
+    key_hi: jax.Array  # [cap] sorted packed keys (for further lookups)
+    key_lo: jax.Array
+
+
+class PoolPlan(NamedTuple):
+    parent: jax.Array  # [cap_fine] int32 row in coarse level (cap_coarse if invalid)
+    dcode: jax.Array  # [cap_fine] int32 in [0,8): which k2 kernel offset
+
+
+class UNetPlan(NamedTuple):
+    levels: tuple  # tuple[LevelPlan, ...] — strides 1,2,4,8,16
+    pools: tuple  # tuple[PoolPlan, ...] — level l -> l+1
+    stem_nbr: jax.Array  # [cap0, 125] k=5 neighbor map at level 0
+    rep: jax.Array  # [cap0] input row -> representative original row (n_in pad)
+    inverse: jax.Array  # [n_in] original row -> level-0 row (cap0 if dropped)
+
+
+def build_neighbor_map(
+    coords: jax.Array,
+    valid: jax.Array,
+    key_hi: jax.Array,
+    key_lo: jax.Array,
+    offsets: np.ndarray,
+) -> jax.Array:
+    """[cap, K] neighbor row indices for submanifold conv (center included)."""
+    offs = jnp.asarray(offsets)  # [K, 3]
+    # queries: coords + offset, batch unchanged
+    q = coords[:, None, 1:4] + offs[None, :, :]  # [cap, K, 3]
+    b = jnp.broadcast_to(coords[:, None, 0:1], (coords.shape[0], offs.shape[0], 1))
+    qc = jnp.concatenate([b, q], axis=2).reshape(-1, 4)
+    qv = jnp.broadcast_to(valid[:, None], (valid.shape[0], offs.shape[0])).reshape(-1)
+    qh, ql = encode_coords(qc, qv)
+    idx = lookup_sorted(key_hi, key_lo, qh, ql)
+    return idx.reshape(coords.shape[0], offs.shape[0])
+
+
+def build_unet_plan(
+    coords: jax.Array,
+    valid: jax.Array,
+    caps: tuple,
+    num_levels: int = 5,
+    stem_kernel: int = 5,
+) -> UNetPlan:
+    """Build the full per-batch plan from stride-1 voxel coords.
+
+    Args:
+      coords: [n_in, 4] int32 (b,x,y,z) stride-1 voxel coords (duplicates OK —
+        they are re-uniqued; invalid rows masked by `valid`).
+      valid: [n_in] bool.
+      caps: static per-level capacities, len == num_levels.
+      num_levels: number of stride levels (5 for MinkUNet: 1,2,4,8,16).
+      stem_kernel: stem kernel size at level 0 (5 for MinkUNet34).
+    """
+    assert len(caps) == num_levels
+    hi, lo = encode_coords(coords, valid)
+    (uh, ul), rep, inverse, count = sorted_unique(hi, lo, caps[0])
+
+    levels = []
+    pools = []
+    cur_keys = (uh, ul)
+    cur_count = count
+    for l in range(num_levels):
+        cap = caps[l]
+        kh, kl = cur_keys
+        lvalid = kh != SENTINEL_HI
+        lcoords = jnp.where(lvalid[:, None], decode_keys(kh, kl), 0)
+        nbr3 = build_neighbor_map(lcoords, lvalid, kh, kl, KERNEL_OFFSETS_3)
+        levels.append(
+            LevelPlan(
+                coords=lcoords,
+                valid=lvalid,
+                count=cur_count,
+                nbr3=nbr3,
+                key_hi=kh,
+                key_lo=kl,
+            )
+        )
+        if l + 1 < num_levels:
+            # pool to next level: parent coord = c >> 1 (stride units), dcode = c & 1
+            pcoord = jnp.concatenate(
+                [lcoords[:, 0:1], lcoords[:, 1:4] >> 1], axis=1
+            )
+            dbits = lcoords[:, 1:4] & 1
+            dcode = (dbits[:, 0] << 2) | (dbits[:, 1] << 1) | dbits[:, 2]
+            ph, pl_ = encode_coords(pcoord, lvalid)
+            (nh, nl), _, pinv, ncount = sorted_unique(ph, pl_, caps[l + 1])
+            pools.append(PoolPlan(parent=pinv, dcode=dcode.astype(jnp.int32)))
+            cur_keys = (nh, nl)
+            cur_count = ncount
+
+    lvl0 = levels[0]
+    stem_offsets = KERNEL_OFFSETS_5 if stem_kernel == 5 else _offsets(stem_kernel)
+    stem_nbr = build_neighbor_map(
+        lvl0.coords, lvl0.valid, lvl0.key_hi, lvl0.key_lo, stem_offsets
+    )
+    return UNetPlan(
+        levels=tuple(levels),
+        pools=tuple(pools),
+        stem_nbr=stem_nbr,
+        rep=rep,
+        inverse=inverse,
+    )

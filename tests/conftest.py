@@ -1,0 +1,18 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual CPU mesh
+(`--xla_force_host_platform_device_count=8`), mirroring how the driver
+dry-runs the multi-chip path. Must run before jax initializes a backend.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

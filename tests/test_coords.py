@@ -1,0 +1,83 @@
+import jax.numpy as jnp
+import numpy as np
+
+from gcdlss_tpu.ops.coords import (
+    SENTINEL_HI,
+    encode_coords,
+    sorted_unique,
+    lookup_sorted,
+    decode_keys,
+)
+
+
+def _rand_coords(rng, n, lo=-50, hi=50, nbatch=2):
+    c = rng.integers(lo, hi, size=(n, 3))
+    b = rng.integers(0, nbatch, size=(n, 1))
+    return np.hstack([b, c]).astype(np.int32)
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(0)
+    coords = _rand_coords(rng, 100)
+    valid = np.ones(100, bool)
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    back = decode_keys(hi, lo)
+    np.testing.assert_array_equal(np.asarray(back), coords)
+
+
+def test_sorted_unique_matches_numpy():
+    rng = np.random.default_rng(1)
+    coords = _rand_coords(rng, 500, lo=-5, hi=5)  # many duplicates
+    valid = np.ones(500, bool)
+    valid[440:] = False
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inverse, count = sorted_unique(hi, lo, 500)
+
+    ref_unique, ref_index, ref_inverse = np.unique(
+        coords[:440], axis=0, return_index=True, return_inverse=True
+    )
+    assert int(count) == len(ref_unique)
+    got = np.asarray(decode_keys(uh, ul))[: int(count)]
+    np.testing.assert_array_equal(got, ref_unique)  # sorted order matches lexsort
+    # representative = first occurrence
+    np.testing.assert_array_equal(np.asarray(rep)[: int(count)], ref_index)
+    np.testing.assert_array_equal(np.asarray(inverse)[:440], ref_inverse)
+    # invalid rows map to capacity
+    assert np.all(np.asarray(inverse)[440:] == 500)
+    # padding is sentinel
+    assert np.all(np.asarray(uh)[int(count) :] == np.int32(SENTINEL_HI))
+
+
+def test_sorted_unique_capacity_drop():
+    coords = np.array([[0, i, 0, 0] for i in range(10)], np.int32)
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.ones(10, bool))
+    (uh, ul), rep, inverse, count = sorted_unique(hi, lo, 4)
+    # groups beyond capacity dropped; inverse points to capacity
+    assert int(count) == 10  # count reports true uniques even if they overflow
+    inv = np.asarray(inverse)
+    assert np.all(inv[:4] == np.arange(4))
+    assert np.all(inv[4:] == 4)
+
+
+def test_lookup_sorted():
+    rng = np.random.default_rng(2)
+    coords = _rand_coords(rng, 300, lo=-8, hi=8)
+    valid = np.ones(300, bool)
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inverse, count = sorted_unique(hi, lo, 300)
+    n = int(count)
+
+    # every unique key must be found at its own position
+    idx = lookup_sorted(uh, ul, uh[:n], ul[:n])
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(n))
+
+    # keys guaranteed absent return -1
+    missing = np.array([[7, 0, 0, 0], [0, 100, 100, 100]], np.int32)
+    mh, ml = encode_coords(jnp.asarray(missing), jnp.ones(2, bool))
+    idx = lookup_sorted(uh, ul, mh, ml)
+    assert np.all(np.asarray(idx) == -1)
+
+    # invalid queries return -1
+    qh, ql = encode_coords(jnp.asarray(missing), jnp.zeros(2, bool))
+    idx = lookup_sorted(uh, ul, qh, ql)
+    assert np.all(np.asarray(idx) == -1)
