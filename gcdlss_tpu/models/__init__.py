@@ -1,0 +1,31 @@
+from .layers import SparseConv, SparseDownConv, SparseUpConv, SparseBatchNorm, NormedLinear
+from .minkunet import (
+    MinkUNetBackbone,
+    MinkUNetSeg,
+    MinkUNetRC,
+    ARCHS,
+    PLANE_VARIANTS,
+    assemble_dummy_logits,
+    assemble_novel_logits,
+)
+from .heads import Prototypes, CosinePrototypes, ProjectionHead, MultiHead, EquiangularPrototypes
+
+__all__ = [
+    "SparseConv",
+    "SparseDownConv",
+    "SparseUpConv",
+    "SparseBatchNorm",
+    "NormedLinear",
+    "MinkUNetBackbone",
+    "MinkUNetSeg",
+    "MinkUNetRC",
+    "ARCHS",
+    "PLANE_VARIANTS",
+    "assemble_dummy_logits",
+    "assemble_novel_logits",
+    "Prototypes",
+    "CosinePrototypes",
+    "ProjectionHead",
+    "MultiHead",
+    "EquiangularPrototypes",
+]

@@ -1,0 +1,236 @@
+"""MinkUNet family on the TPU sparse-conv engine (flax).
+
+Re-implements the reference backbone topology exactly — stem k=5, four k2s2
+strided downs, four k2s2 transpose ups with skip concatenation, residual block
+stacks per level, and the `final`/`final2` (NCC)/`final3` (novel) 1x1 heads —
+but on fixed-capacity padded buffers driven by a per-batch `UNetPlan`.
+
+Reference: `models/minkunet.py:44-132` (MinkUNetBaseRC topology),
+`models/minkunet.py:376-592` (size zoo), `models/resnet.py:90-122`
+(residual layers), `models/multiheadminkunet.py:309-392` (wrappers and the
+`forward` / `forward_discover` output assembly).
+
+Output assembly mirrors the reference's head compositions:
+  * dummy logits  = [final | max(final2)]                  (K+1 columns)
+  * novel logits  = [final | final3 | max(final2)]         (K+Ku+1 columns)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import SparseConv, SparseDownConv, SparseUpConv, SparseBatchNorm, mask_rows
+
+# name -> (block_type, layers). 'basic' expansion=1, 'bottleneck' expansion=4.
+ARCHS = {
+    "MinkUNet14": ("basic", (1, 1, 1, 1, 1, 1, 1, 1)),
+    "MinkUNet18": ("basic", (2, 2, 2, 2, 2, 2, 2, 2)),
+    "MinkUNet34": ("basic", (2, 3, 4, 6, 2, 2, 2, 2)),
+    "MinkUNet50": ("bottleneck", (2, 3, 4, 6, 2, 2, 2, 2)),
+    "MinkUNet101": ("bottleneck", (2, 3, 4, 23, 2, 2, 2, 2)),
+}
+
+DEFAULT_PLANES = (32, 64, 128, 256, 256, 128, 96, 96)
+PLANE_VARIANTS = {
+    "A14": (32, 64, 128, 256, 128, 128, 96, 96),
+    "B14": (32, 64, 128, 256, 128, 128, 128, 128),
+    "C14": (32, 64, 128, 256, 192, 192, 128, 128),
+    "D14": (32, 64, 128, 256, 384, 384, 384, 384),
+    "A18": (32, 64, 128, 256, 256, 128, 96, 96),
+    "B18": (32, 64, 128, 256, 128, 128, 128, 128),
+    "D18": (32, 64, 128, 256, 384, 384, 384, 384),
+    "A34": (32, 64, 128, 256, 256, 128, 64, 64),
+    "B34": (32, 64, 128, 256, 256, 128, 64, 32),
+    "C34": (32, 64, 128, 256, 256, 128, 96, 96),
+}
+
+
+class BasicBlock(nn.Module):
+    """conv3-bn-relu-conv3-bn + (1x1 proj if channels change), relu."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        residual = x
+        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv1")(x, nbr, valid)
+        out = SparseBatchNorm(name="norm1")(out, valid, not train)
+        out = nn.relu(out)
+        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv2")(out, nbr, valid)
+        out = SparseBatchNorm(name="norm2")(out, valid, not train)
+        if x.shape[-1] != self.planes:
+            residual = nn.Dense(self.planes, use_bias=False, name="proj")(x)
+            residual = SparseBatchNorm(name="proj_norm")(residual, valid, not train)
+        return mask_rows(nn.relu(out + residual), valid)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) bottleneck residual block (expansion 4)."""
+
+    planes: int
+    EXPANSION = 4
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        residual = x
+        out_ch = self.planes * self.EXPANSION
+        out = nn.Dense(self.planes, use_bias=False, name="conv1")(x)
+        out = SparseBatchNorm(name="norm1")(out, valid, not train)
+        out = nn.relu(out)
+        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv2")(out, nbr, valid)
+        out = SparseBatchNorm(name="norm2")(out, valid, not train)
+        out = nn.relu(out)
+        out = nn.Dense(out_ch, use_bias=False, name="conv3")(out)
+        out = SparseBatchNorm(name="norm3")(out, valid, not train)
+        if x.shape[-1] != out_ch:
+            residual = nn.Dense(out_ch, use_bias=False, name="proj")(x)
+            residual = SparseBatchNorm(name="proj_norm")(residual, valid, not train)
+        return mask_rows(nn.relu(out + residual), valid)
+
+
+def _block_cls(kind: str):
+    return BasicBlock if kind == "basic" else Bottleneck
+
+
+def _expansion(kind: str) -> int:
+    return 1 if kind == "basic" else 4
+
+
+class _ResLayer(nn.Module):
+    kind: str
+    planes: int
+    blocks: int
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        cls = _block_cls(self.kind)
+        for i in range(self.blocks):
+            x = cls(self.planes, name=f"block{i}")(x, nbr, valid, train)
+        return x
+
+
+class MinkUNetBackbone(nn.Module):
+    """Sparse UNet over a 5-level UNetPlan. Returns stride-1 features (block8)."""
+
+    arch: str = "MinkUNet34"
+    planes: tuple = DEFAULT_PLANES
+    init_dim: int = 32
+    layers_override: Any = None
+
+    @nn.compact
+    def __call__(self, plan, feats, train: bool):
+        kind, layers = ARCHS[self.arch]
+        if self.layers_override is not None:
+            layers = self.layers_override
+        exp = _expansion(kind)
+        p = self.planes
+        lv = plan.levels
+        pools = plan.pools
+        caps = [l.coords.shape[0] for l in lv]
+
+        # ---- stem (k=5, stride 1) ----
+        x = SparseConv(self.init_dim, kernel_volume=plan.stem_nbr.shape[1], name="conv0p1s1")(
+            feats, plan.stem_nbr, lv[0].valid
+        )
+        x = SparseBatchNorm(name="bn0")(x, lv[0].valid, not train)
+        out_p1 = nn.relu(x)
+
+        # ---- encoder ----
+        skips = [out_p1]
+        x = out_p1
+        for i in range(4):
+            x = SparseDownConv(x.shape[-1], caps[i + 1], name=f"conv{i + 1}s2")(
+                x, pools[i], lv[i + 1].valid
+            )
+            x = SparseBatchNorm(name=f"bn{i + 1}")(x, lv[i + 1].valid, not train)
+            x = nn.relu(x)
+            x = _ResLayer(kind, p[i], layers[i], name=f"block{i + 1}")(
+                x, lv[i + 1].nbr3, lv[i + 1].valid, train
+            )
+            skips.append(x)
+
+        # ---- decoder ----
+        for j in range(4):
+            lvl = 3 - j  # target level index (3,2,1,0)
+            x = SparseUpConv(p[4 + j], name=f"convtr{4 + j}s2")(x, pools[lvl], lv[lvl].valid)
+            x = SparseBatchNorm(name=f"bntr{4 + j}")(x, lv[lvl].valid, not train)
+            x = nn.relu(x)
+            skip = skips[lvl]
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = _ResLayer(kind, p[4 + j], layers[4 + j], name=f"block{5 + j}")(
+                x, lv[lvl].nbr3 if lvl > 0 else lv[0].nbr3, lv[lvl].valid, train
+            )
+        return x  # [cap0, planes[7]*exp]
+
+
+class MinkUNetSeg(nn.Module):
+    """Backbone + `final` head: the Stage-1 pretrain model.
+
+    Mirrors `MinkUNetBase` (reference `models/multiheadminkunet.py:309-340`):
+    returns {'logits', 'feats'}.
+    """
+
+    num_classes: int
+    arch: str = "MinkUNet34"
+    planes: tuple = DEFAULT_PLANES
+
+    @nn.compact
+    def __call__(self, plan, feats, train: bool = True):
+        h = MinkUNetBackbone(self.arch, self.planes, name="encoder")(plan, feats, train)
+        logits = nn.Dense(self.num_classes, name="final")(h)
+        valid = plan.levels[0].valid
+        return {
+            "logits": mask_rows(logits, valid),
+            "feats": h,
+        }
+
+
+class MinkUNetRC(nn.Module):
+    """Backbone + final (K) + final2 (NCC, 3) + final3 (novel, Ku) heads.
+
+    The Stage-2 teacher/student model. `__call__` computes all head outputs in
+    one pass; use `assemble_dummy_logits` / `assemble_novel_logits` to build
+    the reference's `forward` / `forward_discover` logit layouts
+    (`models/multiheadminkunet.py:342-392`, `models/minkunet.py:312-362`).
+    """
+
+    num_labeled: int
+    num_novel: int
+    ncc_heads: int = 3
+    arch: str = "MinkUNet34"
+    planes: tuple = DEFAULT_PLANES
+
+    @nn.compact
+    def __call__(self, plan, feats, train: bool = True):
+        h = MinkUNetBackbone(self.arch, self.planes, name="encoder")(plan, feats, train)
+        valid = plan.levels[0].valid
+        out = {
+            "feats": h,
+            "logits_known": mask_rows(nn.Dense(self.num_labeled, name="final")(h), valid),
+            "logits_ncc": mask_rows(nn.Dense(self.ncc_heads, name="final2")(h), valid),
+            "logits_novel": mask_rows(nn.Dense(self.num_novel, name="final3")(h), valid),
+        }
+        return out
+
+
+def assemble_dummy_logits(out: dict) -> jnp.ndarray:
+    """[final | max(final2)] — reference `forward_dummy` (minkunet.py:312-322)."""
+    ncc_max = jnp.max(out["logits_ncc"], axis=-1, keepdims=True)
+    return jnp.concatenate([out["logits_known"], ncc_max], axis=-1)
+
+
+def assemble_novel_logits(out: dict) -> jnp.ndarray:
+    """[final | final3 | max(final2)] — reference `forward_novel` (minkunet.py:349-362)."""
+    ncc_max = jnp.max(out["logits_ncc"], axis=-1, keepdims=True)
+    return jnp.concatenate([out["logits_known"], out["logits_novel"], ncc_max], axis=-1)
+
+
+def assemble_dummy_logits_from_heads(feats, params_final, params_final2):
+    """Dummy logits from raw head weights (for mixed features; reference
+    `exp_merge_mean_teacher.py:2822-2825` reads `.kernel`/`.bias` directly)."""
+    kin = feats @ params_final["kernel"] + params_final["bias"]
+    kout = feats @ params_final2["kernel"] + params_final2["bias"]
+    return jnp.concatenate([kin, jnp.max(kout, axis=-1, keepdims=True)], axis=-1)

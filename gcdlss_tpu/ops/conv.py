@@ -31,6 +31,7 @@ def gather_conv(
     bias: jax.Array | None = None,
     *,
     compute_dtype=None,
+    precision=None,
 ) -> jax.Array:
     """Submanifold sparse conv: out[i] = sum_k W[k] @ feats[nbr[i, k]].
 
@@ -53,7 +54,7 @@ def gather_conv(
         nbr_k, w_k = inp
         safe = jnp.where(nbr_k >= 0, nbr_k, 0)
         g = x[safe] * (nbr_k >= 0)[:, None].astype(dt)
-        return acc + jnp.dot(g, w_k, preferred_element_type=jnp.float32), None
+        return acc + jnp.dot(g, w_k, preferred_element_type=jnp.float32, precision=precision), None
 
     acc0 = jnp.zeros((n, co), jnp.float32)
     acc, _ = jax.lax.scan(step, acc0, (nbr.T, w))
@@ -70,6 +71,7 @@ def down_conv(
     weight: jax.Array,
     cap_out: int,
     bias: jax.Array | None = None,
+    precision=None,
 ) -> jax.Array:
     """Strided k=2 s=2 sparse conv (fine level -> coarse level).
 
@@ -84,7 +86,7 @@ def down_conv(
     ci = feats.shape[1]
     co = weight.shape[2]
     wide = weight.transpose(1, 0, 2).reshape(ci, 8 * co)  # [Ci, 8*Co]
-    h = jnp.dot(feats, wide, preferred_element_type=jnp.float32)
+    h = jnp.dot(feats, wide, preferred_element_type=jnp.float32, precision=precision)
     h = h.reshape(-1, 8, co)
     h = jnp.take_along_axis(h, dcode[:, None, None], axis=1)[:, 0, :]
     seg = jnp.clip(parent, 0, cap_out)
@@ -100,6 +102,7 @@ def up_conv(
     dcode: jax.Array,
     weight: jax.Array,
     bias: jax.Array | None = None,
+    precision=None,
 ) -> jax.Array:
     """Transpose k=2 s=2 sparse conv (coarse level -> existing fine coords).
 
@@ -114,7 +117,7 @@ def up_conv(
     safe = jnp.where(parent < nc, parent, 0)
     g = coarse_feats[safe] * (parent < nc)[:, None].astype(coarse_feats.dtype)
     wide = weight.transpose(1, 0, 2).reshape(ci, 8 * co)
-    h = jnp.dot(g, wide, preferred_element_type=jnp.float32).reshape(-1, 8, co)
+    h = jnp.dot(g, wide, preferred_element_type=jnp.float32, precision=precision).reshape(-1, 8, co)
     out = jnp.take_along_axis(h, dcode[:, None, None], axis=1)[:, 0, :]
     if bias is not None:
         out = out + bias

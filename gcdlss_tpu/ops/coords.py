@@ -138,7 +138,7 @@ def lookup_sorted(
     sorted_unique. ~log2(capacity) vectorized steps.
     """
     cap = uniq_hi.shape[0]
-    steps = _ceil_log2(cap)
+    steps = _ceil_log2(cap + 1)  # search interval is [0, cap] inclusive
     lo_b = jnp.zeros(q_hi.shape, jnp.int32)
     hi_b = jnp.full(q_hi.shape, cap, jnp.int32)
 
