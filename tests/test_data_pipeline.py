@@ -1,0 +1,103 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gcdlss_tpu.data import (
+    write_synthetic_kitti,
+    SemanticKITTIDataset,
+    collate_batch,
+    ensure_split_file,
+    load_split_indices,
+    build_label_mapping,
+    split_table,
+    dataset_meta,
+)
+from gcdlss_tpu.data.quantize_np import sparse_quantize_np
+from gcdlss_tpu.ops.voxelize import sparse_quantize
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_kitti")
+    return write_synthetic_kitti(str(root), sequences=("00",), scans_per_seq=4,
+                                 num_points=1500, seed=0)
+
+
+def test_label_mapping_golden():
+    meta = dataset_meta("SemanticKITTI")
+    unknown, ratio = split_table("SemanticKITTI", 1)
+    assert unknown == [4, 6] and ratio == 0.50
+    mapping, inv, unk = build_label_mapping(unknown, meta["learning_map_inv"].keys())
+    assert unk == 17  # 19 classes - 2 unknown
+    assert mapping[4] == 17 and mapping[6] == 17
+    # knowns compress order-preserving: 0->0,1->1,2->2,3->3,5->4,7->5,...
+    assert mapping[0] == 0 and mapping[3] == 3 and mapping[5] == 4 and mapping[7] == 5
+    assert inv[4] == 5  # compressed 4 -> train label 5 (person)
+    assert len(inv) == 17
+
+
+def test_host_device_quantize_parity(kitti_root):
+    ds = SemanticKITTIDataset(kitti_root, "train", voxel_size=0.1)
+    s = ds[0]
+    # host result
+    coords_h, unique_map, inverse_h = sparse_quantize_np(s.points, 0.1)
+    # device result
+    p = s.points
+    out = sparse_quantize(
+        jnp.asarray(p), jnp.zeros(p.shape[0], jnp.int32),
+        jnp.ones(p.shape[0], bool), 0.1, p.shape[0],
+    )
+    m = int(out["count"])
+    assert m == coords_h.shape[0]
+    np.testing.assert_array_equal(np.asarray(out["coords"])[:m, 1:], coords_h)
+    np.testing.assert_array_equal(np.asarray(out["rep"])[:m], unique_map)
+    np.testing.assert_array_equal(np.asarray(out["inverse"]), inverse_h)
+
+
+def test_dataset_and_collation(kitti_root):
+    unknown, ratio = split_table("SemanticKITTI", 1)
+    meta = dataset_meta("SemanticKITTI")
+    mapping, inv, unk = build_label_mapping(unknown, meta["learning_map_inv"].keys())
+    ds = SemanticKITTIDataset(
+        kitti_root, "train", voxel_size=0.1, downsampling=1200, augment=True,
+        label_mapping=mapping, unknown_labels=unknown, resize_aug=True, seed=3,
+    )
+    s = ds[1]
+    assert s.points.shape[0] == s.labels.shape[0] == s.inverse_map.shape[0]
+    assert s.voxel_coords.shape[0] == s.voxel_features.shape[0]
+    assert s.voxel_coords.shape[0] <= s.points.shape[0]
+    # inverse map round trip: voxel coords of each point match its own quantized coords
+    assert s.inverse_map.max() < s.voxel_coords.shape[0]
+    # mapped labels: known in [0,17], synthetic 100 -> 17
+    assert s.mapped_labels.min() >= 0
+    assert s.mapped_labels.max() <= unk
+
+    batch = collate_batch([ds[0], ds[1]], voxel_cap=4096, point_cap=2048)
+    vb, pb = batch["voxel"], batch["points"]
+    assert vb.coords.shape == (4096, 4)
+    n0 = int(vb.num_voxels[0])
+    assert np.all(vb.coords[:n0, 0] == 0)
+    assert np.all(vb.valid[: n0 + int(vb.num_voxels[1])])
+    # voxel_row of scan1 points offset by scan0 voxel count
+    ok = pb.valid[1]
+    assert np.all(pb.voxel_row[1][ok] >= n0)
+    # collated voxel order is globally sorted so plan build is a no-op permutation
+    from gcdlss_tpu.ops.coords import encode_coords
+
+    hi, lo = encode_coords(jnp.asarray(vb.coords), jnp.asarray(vb.valid))
+    hi = np.asarray(hi)
+    nvalid = int(vb.valid.sum())
+    assert np.all(np.diff(hi[:nvalid].astype(np.int64)) >= 0)
+
+
+def test_split_files(kitti_root, tmp_path):
+    path = ensure_split_file(str(tmp_path), "SemanticKITTI", 1, num_scans=4)
+    assert path.endswith("selected_idx_in__ex_4_6_50%.npy")
+    idx = load_split_indices(path)
+    assert len(idx) == 2
+    lab = SemanticKITTIDataset(kitti_root, "train", split_indices=idx, labeled=True)
+    unlab = SemanticKITTIDataset(kitti_root, "train", split_indices=idx, labeled=False)
+    assert len(lab) == 2 and len(unlab) == 2
+    assert set(lab.scan_files).isdisjoint(unlab.scan_files)
