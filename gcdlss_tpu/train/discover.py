@@ -1,0 +1,458 @@
+"""Stage-2: mean-teacher generalized class discovery with LaserMix + NCC.
+
+TPU-native rebuild of `ExpMergeDiscover_LaserMix_MeanTeacher_NCCAdaptive`
+(reference `modules/exp_merge_mean_teacher.py:2736-3067`, parent `:1378-2735`).
+The entire step — teacher+student forwards, the 8-loss objective, in-step
+LaserMix re-voxelization, NCC candidate mining against the learnable logit
+threshold, cosine k-means over candidates+queue, per-step Hungarian alignment,
+queue update and the EMA teacher update — is ONE jitted function with masked
+fixed-shape control flow (no host round-trips; the reference crosses the
+GPU<->CPU boundary for scipy every step, `:3003`).
+
+Loss inventory (coefficients are per-dataset, `:1454-1488,2744-2748`):
+  sup CE | 200 x MSE(softmax_s, softmax_t) on unsup | 0.1 x LaserMix CE |
+  calib (0.05/0.1) | threshold hinge x (0.2/0.5) | 0.1 x novel cluster CE |
+  1 x sup novel CE | 0.1 x NCC unsup CE.
+
+State-sync note (SURVEY §2.5): under jit-with-sharding data parallelism the
+candidate set, k-means and queue all operate on the *global* batch — XLA
+inserts the all-gathers — so multi-chip runs get globally consistent
+clustering (the reference's per-rank DDP state is implicitly inconsistent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.minkunet import (
+    MinkUNetRC,
+    assemble_dummy_logits,
+    assemble_novel_logits,
+)
+from ..losses import (
+    cross_entropy,
+    calibration_loss,
+    mse_prob_loss,
+    adaptive_threshold_loss,
+)
+from ..algo.kmeans import cosine_kmeans
+from ..algo.hungarian_jax import hungarian_small
+from ..algo.queue import FeatureQueue, queue_init, queue_push, queue_flatten
+from ..eval.metrics import confusion_update
+from ..ops.plan import build_unet_plan
+from ..ops.voxelize import sparse_quantize
+from .common import TrainState, make_sgd, default_caps, inv_label_lut
+from .schedule import make_lr_schedule
+from .lasermix import lasermix_batch
+from flax import struct
+
+
+@dataclass(frozen=True)
+class DiscoverConfig:
+    num_labeled_classes: int
+    num_unlabeled_classes: int
+    num_classes: int
+    unknown_label: int
+    voxel_caps: tuple  # combined sup+unsup plan capacities (5 levels)
+    sup_voxel_cap: int  # sup rows occupy [0, sup_voxel_cap) of the combined input
+    mix_voxel_caps: tuple  # capacities for the LaserMix-mixed plan
+    num_sup_scans: int  # scans per device batch on each side (batch_size // 2)
+    point_cap: int  # per-scan point capacity
+    voxel_size: float = 0.05
+    arch: str = "MinkUNet34"
+    in_channels: int = 1
+    feat_dim: int = 96
+    ncc_heads: int = 3
+    # discovery knobs
+    alpha: int = 5
+    kmeans_iters: int = 15
+    cand_cap: int = 4096
+    queue_slots: int = 20
+    queue_per_slot: int = 1024
+    ema_momentum: float = 0.01
+    pseudo_thr: float = 0.9
+    threshold_mode: str = "adaptive_logit"  # or "fixed_prob" (parent class)
+    fixed_prob_thld: float = 0.2
+    # loss coefficients (KITTI defaults; see make_discover_config)
+    calib_coeff: float = 0.05
+    mse_coeff: float = 200.0
+    lasermix_coeff: float = 0.1
+    novel_coeff: float = 0.1
+    sup_novel_coeff: float = 1.0
+    ncc_coeff: float = 0.1
+    threshold_loss_weight: float = 0.2
+    # optimizer
+    lr: float = 1e-2
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    use_scheduler: bool = True
+    warmup_epochs: int = 4
+    min_lr: float = 1e-5
+    epochs: int = 50
+    steps_per_epoch: int = 1000
+
+
+def make_discover_config(dataset: str, **kw) -> dict:
+    """Per-dataset coefficient defaults (`exp_merge_mean_teacher.py:1454-1488,
+    2744-2748`)."""
+    if dataset == "nuScenes":
+        base = dict(calib_coeff=0.1, threshold_loss_weight=0.5)
+    else:
+        base = dict(calib_coeff=0.05, threshold_loss_weight=0.2)
+    base.update(kw)
+    return base
+
+
+class DiscoverState(struct.PyTreeNode):
+    params_s: dict
+    batch_stats_s: dict
+    params_t: dict
+    batch_stats_t: dict
+    tau: jax.Array
+    opt_state: tuple
+    queue: FeatureQueue
+    step: jax.Array
+    rng: jax.Array
+
+
+def make_model(cfg: DiscoverConfig) -> MinkUNetRC:
+    return MinkUNetRC(
+        num_labeled=cfg.num_labeled_classes,
+        num_novel=cfg.num_unlabeled_classes,
+        ncc_heads=cfg.ncc_heads,
+        arch=cfg.arch,
+    )
+
+
+def make_optimizer(cfg: DiscoverConfig):
+    return make_sgd(cfg, make_lr_schedule(cfg))
+
+
+def create_discover_state(
+    rng: jax.Array, cfg: DiscoverConfig, pretrained_params: dict | None = None
+) -> DiscoverState:
+    model = make_model(cfg)
+    cap0 = cfg.voxel_caps[0]
+    coords = np.zeros((cap0, 4), np.int32)
+    coords[:, 1] = np.arange(cap0) % 101
+    coords[:, 2] = np.arange(cap0) // 101
+    plan = build_unet_plan(
+        jnp.asarray(coords), jnp.ones((cap0,), bool), cfg.voxel_caps
+    )
+    feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
+    rng, k1 = jax.random.split(rng)
+    variables = model.init(k1, plan, feats, train=False)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    if pretrained_params is not None:
+        # warm-start backbone + `final` from Stage 1 (strict=False load:
+        # `exp_merge_mean_teacher.py:229-244`); final2/final3 stay fresh.
+        params = dict(params)
+        for key in ("encoder", "final"):
+            if key in pretrained_params:
+                params[key] = pretrained_params[key]
+    tau = jnp.zeros((), jnp.float32)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init({"model": params, "tau": tau})
+    return DiscoverState(
+        params_s=params,
+        batch_stats_s=bstats,
+        params_t=jax.tree_util.tree_map(jnp.copy, params),
+        batch_stats_t=jax.tree_util.tree_map(jnp.copy, bstats),
+        tau=tau,
+        opt_state=opt_state,
+        queue=queue_init(cfg.queue_slots, cfg.queue_per_slot, cfg.feat_dim),
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )
+
+
+def _combine_batches(sup_vb: dict, unsup_vb: dict, cfg: DiscoverConfig):
+    """Concatenate sup+unsup voxel buffers, shifting unsup batch indices
+    (`exp_merge_mean_teacher.py:2796-2801`)."""
+    ucoords = unsup_vb["coords"].at[:, 0].add(cfg.num_sup_scans)
+    coords = jnp.concatenate([sup_vb["coords"], ucoords], axis=0)
+    feats = jnp.concatenate([sup_vb["feats"], unsup_vb["feats"]], axis=0)
+    mapped = jnp.concatenate(
+        [sup_vb["mapped_labels"], unsup_vb["mapped_labels"]], axis=0
+    )
+    valid = jnp.concatenate([sup_vb["valid"], unsup_vb["valid"]], axis=0)
+    return coords, feats, mapped, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def discover_train_step(
+    state: DiscoverState,
+    sup_vb: dict,
+    sup_pb: dict,
+    unsup_vb: dict,
+    unsup_pb: dict,
+    cfg: DiscoverConfig,
+):
+    model = make_model(cfg)
+    tx = make_optimizer(cfg)
+    K = cfg.num_labeled_classes
+    Ku = cfg.num_unlabeled_classes
+    rng, k_kmeans, k_areas = jax.random.split(state.rng, 3)
+
+    # ---------------- combined sup+unsup sparse tensor + plan ----------------
+    coords, feats, mapped, valid = _combine_batches(sup_vb, unsup_vb, cfg)
+    sup_cap = cfg.sup_voxel_cap
+    plan = build_unet_plan(coords, valid, cfg.voxel_caps)
+    n_in = coords.shape[0]
+    ok = plan.rep < n_in
+    safe = jnp.where(ok, plan.rep, 0)
+    feats0 = feats[safe] * ok[:, None].astype(feats.dtype)
+    mapped0 = jnp.where(ok, mapped[safe], -1)
+    valid0 = plan.levels[0].valid
+    is_sup = ok & (plan.rep < sup_cap)
+    sup_mask = is_sup & valid0
+    unsup_mask = valid0 & ~is_sup
+
+    # ---------------- teacher forward (frozen params, train-mode BN) ---------
+    out_t, mut_t = model.apply(
+        {"params": state.params_t, "batch_stats": state.batch_stats_t},
+        plan, feats0, train=True, mutable=["batch_stats"],
+    )
+    dummy_t = assemble_dummy_logits(out_t)  # [N, K+1]
+    feats_t = jax.lax.stop_gradient(out_t["feats"])
+    probs_t = jax.nn.softmax(dummy_t, axis=-1)
+
+    # ---------------- LaserMix: teacher pseudo-labels -> mixed plan ----------
+    maxp_t = jnp.max(probs_t, axis=-1)
+    argm_t = jnp.argmax(probs_t, axis=-1)
+    cap0 = cfg.voxel_caps[0]
+    vrow = unsup_pb["voxel_row"]  # [S, P] rows into the unsup voxel buffer
+    comb_row = sup_cap + vrow
+    ok_p = vrow < (cap0 - sup_cap)
+    prow = plan.inverse[jnp.where(ok_p, comb_row, 0)]
+    ok_p = ok_p & (prow < cap0)
+    srow = jnp.where(ok_p, prow, 0)
+    pseudo = jnp.where(
+        ok_p & (maxp_t[srow] >= cfg.pseudo_thr), argm_t[srow], -1
+    ).astype(jnp.int32)
+
+    num_areas = jax.random.choice(k_areas, jnp.asarray([3, 4, 5, 6], jnp.int32))
+    mxyz, mfeats, mlabels, mvalid = lasermix_batch(sup_pb, unsup_pb, pseudo, num_areas)
+    nscan, npt = mxyz.shape[0], mxyz.shape[1]
+    flat_xyz = mxyz.reshape(nscan * npt, 3)
+    flat_bidx = jnp.repeat(jnp.arange(nscan, dtype=jnp.int32), npt)
+    flat_valid = mvalid.reshape(-1)
+    vox = sparse_quantize(
+        flat_xyz, flat_bidx, flat_valid, cfg.voxel_size, cfg.mix_voxel_caps[0]
+    )
+    mrep_ok = vox["rep"] < nscan * npt
+    mrep = jnp.where(mrep_ok, vox["rep"], 0)
+    mix_feats0 = mfeats.reshape(nscan * npt, -1)[mrep] * mrep_ok[:, None]
+    mix_labels0 = jnp.where(mrep_ok, mlabels.reshape(-1)[mrep], -1)
+    mix_plan = build_unet_plan(vox["coords"], vox["valid"], cfg.mix_voxel_caps)
+    mix_ok = mix_plan.rep < cfg.mix_voxel_caps[0]
+    mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)
+    mix_feats0 = mix_feats0[mix_safe] * mix_ok[:, None]
+    mix_labels0 = jnp.where(mix_ok, mix_labels0[mix_safe], -1)
+
+    # ---------------- NCC candidate mining (teacher side, no grad) -----------
+    if cfg.threshold_mode == "adaptive_logit":
+        cand_mask = (dummy_t[:, -1] > state.tau) & unsup_mask
+    else:
+        cand_mask = (probs_t[:, -1] > cfg.fixed_prob_thld) & unsup_mask
+    n_cand = jnp.sum(cand_mask.astype(jnp.int32))
+    order = jnp.argsort(~cand_mask, stable=True)
+    cand_rows = order[: cfg.cand_cap]
+    cand_valid = jnp.arange(cfg.cand_cap) < jnp.minimum(n_cand, cfg.cand_cap)
+    cand_feats = feats_t[cand_rows] * cand_valid[:, None]
+
+    qfeats, qvalid = queue_flatten(state.queue)
+    all_feats = jnp.concatenate([cand_feats, qfeats], axis=0)
+    all_valid = jnp.concatenate([cand_valid, qvalid], axis=0)
+    n_all = jnp.sum(all_valid.astype(jnp.int32))
+    do_cluster = (n_cand > 0) & (n_all > (Ku + cfg.alpha))
+
+    assign_all, cents = cosine_kmeans(
+        all_feats, all_valid, Ku + cfg.alpha, k_kmeans, iters=cfg.kmeans_iters
+    )
+    # drop the alpha clusters most confidently claimed by the base classifier
+    fk = jax.lax.stop_gradient(state.params_s["final"]["kernel"])
+    fb = jax.lax.stop_gradient(state.params_s["final"]["bias"])
+    cluster_logits = cents @ fk + fb
+    _, unreliable = jax.lax.top_k(jnp.max(cluster_logits, axis=-1), cfg.alpha)
+    assign = assign_all[: cfg.cand_cap]
+    is_unreliable = jnp.any(
+        assign[:, None] == unreliable[None, :], axis=1
+    )
+    rel_mask = cand_valid & ~is_unreliable
+    n_rel = jnp.sum(rel_mask.astype(jnp.int32))
+    has_novel = do_cluster & (n_rel > 0)
+
+    # compact-relabel the surviving clusters to 0..M-1
+    nclu = Ku + cfg.alpha
+    present = jnp.zeros((nclu,), bool).at[jnp.where(rel_mask, assign, nclu - 1)].max(
+        rel_mask
+    )
+    new_id = jnp.cumsum(present.astype(jnp.int32)) - 1
+    rel_labels = jnp.clip(new_id[jnp.clip(assign, 0, nclu - 1)], 0, Ku - 1)
+
+    # per-step Hungarian: novel-head argmax vs cluster label (`:2991-3008`)
+    w3 = jax.lax.stop_gradient(state.params_s["final3"]["kernel"])
+    b3 = jax.lax.stop_gradient(state.params_s["final3"]["bias"])
+    novel_preds = jnp.argmax(cand_feats @ w3 + b3, axis=-1)
+    cost = confusion_update(novel_preds, rel_labels, Ku, rel_mask)
+    row_of_col = hungarian_small(cost.astype(jnp.float32), maximize=True)
+    mapped_novel = row_of_col[rel_labels] + K  # shifted (use_sup_logit)
+
+    # ---------------- student loss ----------------
+    def loss_fn(tree):
+        params_s, tau = tree["model"], tree["tau"]
+        out_s, mut_s = model.apply(
+            {"params": params_s, "batch_stats": state.batch_stats_s},
+            plan, feats0, train=True, mutable=["batch_stats"],
+        )
+        dummy_s = assemble_dummy_logits(out_s)  # [N, K+1]
+        feats_s = out_s["feats"]
+
+        sup_targets = jnp.where(sup_mask, mapped0, -1)
+        l_sup = cross_entropy(dummy_s, sup_targets, valid0)
+
+        probs_s = jax.nn.softmax(dummy_s, axis=-1)
+        l_mse = cfg.mse_coeff * mse_prob_loss(probs_s, probs_t, unsup_mask)
+
+        # LaserMix CE on the student's mixed forward (BN stats threaded)
+        out_mix, mut_s2 = model.apply(
+            {"params": params_s, "batch_stats": mut_s["batch_stats"]},
+            mix_plan, mix_feats0, train=True, mutable=["batch_stats"],
+        )
+        dummy_mix = assemble_dummy_logits(out_mix)
+        l_lm = cfg.lasermix_coeff * cross_entropy(
+            dummy_mix, mix_labels0, mix_plan.levels[0].valid
+        )
+
+        l_cal = cfg.calib_coeff * calibration_loss(
+            dummy_s, sup_targets, cfg.unknown_label, valid0
+        )
+
+        if cfg.threshold_mode == "adaptive_logit":
+            l_thr = cfg.threshold_loss_weight * adaptive_threshold_loss(
+                dummy_s[:, -1], sup_targets, cfg.unknown_label, tau, valid0
+            )
+        else:
+            l_thr = 0.0 * tau
+
+        # ---- novel losses (gated by has_novel) ----
+        g = has_novel.astype(jnp.float32)
+        stud_known_cand = dummy_s[cand_rows][:, :-1]  # [cand_cap, K]
+        nov_logits = cand_feats @ params_s["final3"]["kernel"] + params_s["final3"]["bias"]
+        cat_nov = jnp.concatenate([stud_known_cand, nov_logits], axis=-1)
+        l_nov_unsup = cfg.novel_coeff * cross_entropy(
+            cat_nov, jnp.where(rel_mask, mapped_novel, -1)
+        )
+
+        nov_sup = feats_s @ params_s["final3"]["kernel"] + params_s["final3"]["bias"]
+        cat_sup = jnp.concatenate([dummy_s[:, :-1], nov_sup], axis=-1)
+        l_nov_sup = cfg.sup_novel_coeff * cross_entropy(cat_sup, sup_targets, valid0)
+
+        ncc_rel = cand_feats @ params_s["final2"]["kernel"] + params_s["final2"]["bias"]
+        ncc_rel = jnp.max(ncc_rel, axis=-1, keepdims=True)
+        cat_ncc = jnp.concatenate([stud_known_cand, ncc_rel], axis=-1)
+        l_ncc = cfg.ncc_coeff * cross_entropy(
+            cat_ncc, jnp.where(rel_mask, cfg.unknown_label, -1)
+        )
+
+        loss = l_sup + l_mse + l_lm + l_cal + l_thr + g * (
+            l_nov_unsup + l_nov_sup + l_ncc
+        )
+        metrics = {
+            "loss": loss,
+            "sup_seg": l_sup,
+            "mse": l_mse,
+            "lasermix": l_lm,
+            "calib": l_cal,
+            "thr_loss": l_thr,
+            "novel_unsup": g * l_nov_unsup,
+            "novel_sup": g * l_nov_sup,
+            "ncc_unsup": g * l_ncc,
+        }
+        return loss, (mut_s2["batch_stats"], metrics)
+
+    (loss, (new_bs_s, metrics)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )({"model": state.params_s, "tau": state.tau})
+    updates, opt_state = tx.update(
+        grads, state.opt_state, {"model": state.params_s, "tau": state.tau}
+    )
+    new_tree = jax.tree_util.tree_map(
+        lambda p, u: p + u, {"model": state.params_s, "tau": state.tau}, updates
+    )
+    params_s = new_tree["model"]
+    tau = new_tree["tau"]
+
+    # EMA teacher update (`:2223-2224,246-248`): t <- (1-m) t + m s
+    m = cfg.ema_momentum
+    params_t = jax.tree_util.tree_map(
+        lambda t, s: (1.0 - m) * t + m * s, state.params_t, params_s
+    )
+
+    # queue update only when the novel branch fired
+    new_queue = queue_push(state.queue, cand_feats, rel_mask)
+    queue = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(has_novel, new, old), new_queue, state.queue
+    )
+
+    metrics.update(
+        {
+            "tau": tau,
+            "n_cand": n_cand,
+            "n_rel": n_rel,
+            "has_novel": has_novel.astype(jnp.int32),
+        }
+    )
+    new_state = DiscoverState(
+        params_s=params_s,
+        batch_stats_s=new_bs_s,
+        params_t=params_t,
+        batch_stats_t=mut_t["batch_stats"],
+        tau=tau,
+        opt_state=opt_state,
+        queue=queue,
+        step=state.step + 1,
+        rng=rng,
+    )
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def discover_eval_step(
+    state: DiscoverState, vb: dict, pb: dict, inv_lut: jax.Array, cfg: DiscoverConfig
+):
+    """Teacher `forward_discover` eval (`exp_merge_mean_teacher.py:2263-2330`):
+    preds = argmax over [K known | Ku novel] (NCC column dropped), mapped to
+    train-label ids, expanded to points; returns the confusion increment."""
+    model = make_model(cfg)
+    plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps)
+    n_in = vb["coords"].shape[0]
+    ok = plan.rep < n_in
+    safe = jnp.where(ok, plan.rep, 0)
+    feats0 = vb["feats"][safe] * ok[:, None].astype(vb["feats"].dtype)
+    out = model.apply(
+        {"params": state.params_t, "batch_stats": state.batch_stats_t},
+        plan, feats0, train=False,
+    )
+    logits = assemble_novel_logits(out)
+    probs = jax.nn.softmax(logits, axis=-1)
+    preds = jnp.argmax(probs[:, :-1], axis=-1)
+    preds_raw = inv_lut[preds]
+
+    cap0 = cfg.voxel_caps[0]
+    vrow = pb["voxel_row"].reshape(-1)
+    okp = vrow < n_in
+    prow = plan.inverse[jnp.where(okp, vrow, 0)]
+    okp = okp & (prow < cap0)
+    srow = jnp.where(okp, prow, 0)
+    point_pred = jnp.where(okp, preds_raw[srow], -1)
+    point_labels = pb["labels"].reshape(-1)
+    pvalid = pb["valid"].reshape(-1) & okp
+    return confusion_update(point_pred, point_labels, cfg.num_classes, pvalid)

@@ -1,18 +1,28 @@
-"""Test configuration: force CPU backend with 8 virtual devices.
+"""Test configuration: force the CPU backend with 8 virtual devices.
 
 Multi-chip sharding tests run on a virtual CPU mesh
 (`--xla_force_host_platform_device_count=8`), mirroring how the driver
-dry-runs the multi-chip path. Must run before jax initializes a backend.
+dry-runs the multi-chip path.
+
+Note: this environment's sitecustomize registers a remote-TPU ("axon") PJRT
+plugin and force-sets `jax_platforms` via jax.config — env vars alone are
+ignored. We override through jax.config before any backend is initialized;
+otherwise every tiny eager op becomes a network round-trip to the tunneled
+TPU and tests crawl or hang.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

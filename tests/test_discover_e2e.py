@@ -1,0 +1,134 @@
+"""End-to-end Stage-2 discovery step: teacher/student + LaserMix + NCC mining
++ kmeans + Hungarian + queue + EMA, all inside one jitted step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gcdlss_tpu.data import (
+    write_synthetic_kitti,
+    SemanticKITTIDataset,
+    collate_batch,
+    build_label_mapping,
+    split_table,
+    dataset_meta,
+)
+from gcdlss_tpu.train.common import voxel_batch_to_device, point_batch_to_device, inv_label_lut
+from gcdlss_tpu.train.discover import (
+    DiscoverConfig,
+    create_discover_state,
+    discover_train_step,
+    discover_eval_step,
+)
+
+SUP_CAP = 1024
+CAPS = (2048, 1536, 1024, 512, 512)
+MIX_CAPS = (2048, 1536, 1024, 512, 512)
+POINT_CAP = 700
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti2")
+    write_synthetic_kitti(str(root), sequences=("00",), scans_per_seq=4,
+                          num_points=900, seed=2)
+    meta = dataset_meta("SemanticKITTI")
+    unknown, _ = split_table("SemanticKITTI", 1)
+    mapping, inv, unk = build_label_mapping(unknown, meta["learning_map_inv"].keys())
+    cfg = DiscoverConfig(
+        num_labeled_classes=17,
+        num_unlabeled_classes=2,
+        num_classes=19,
+        unknown_label=unk,
+        voxel_caps=CAPS,
+        sup_voxel_cap=SUP_CAP,
+        mix_voxel_caps=MIX_CAPS,
+        num_sup_scans=2,
+        point_cap=POINT_CAP,
+        voxel_size=0.15,
+        arch="MinkUNet14",
+        cand_cap=256,
+        queue_slots=4,
+        queue_per_slot=64,
+        kmeans_iters=5,
+        steps_per_epoch=1,
+        epochs=3,
+        warmup_epochs=1,
+    )
+    lab_ds = SemanticKITTIDataset(
+        str(root), "train", split_indices=np.array([0, 1]), labeled=True,
+        voxel_size=0.15, downsampling=800, augment=True, label_mapping=mapping,
+        unknown_labels=unknown, resize_aug=True, seed=0,
+    )
+    unlab_ds = SemanticKITTIDataset(
+        str(root), "train", split_indices=np.array([0, 1]), labeled=False,
+        voxel_size=0.15, downsampling=800, augment=True, label_mapping=mapping,
+        unknown_labels=unknown, seed=1,
+    )
+    val_ds = SemanticKITTIDataset(
+        str(root), "valid", voxel_size=0.15, label_mapping=mapping,
+        unknown_labels=unknown,
+    )
+    return cfg, mapping, inv, unknown, lab_ds, unlab_ds, val_ds
+
+
+def _device_batches(lab_ds, unlab_ds):
+    sup = collate_batch([lab_ds[0], lab_ds[1]], SUP_CAP, point_cap=POINT_CAP)
+    unsup = collate_batch([unlab_ds[0], unlab_ds[1]], CAPS[0] - SUP_CAP, point_cap=POINT_CAP)
+    return (
+        voxel_batch_to_device(sup["voxel"]),
+        point_batch_to_device(sup["points"]),
+        voxel_batch_to_device(unsup["voxel"]),
+        point_batch_to_device(unsup["points"]),
+    )
+
+
+def test_discover_train_step(setup):
+    cfg, mapping, inv, unknown, lab_ds, unlab_ds, val_ds = setup
+    state = create_discover_state(jax.random.PRNGKey(0), cfg)
+    sup_vb, sup_pb, unsup_vb, unsup_pb = _device_batches(lab_ds, unlab_ds)
+
+    # snapshot before the step: the input state is donated
+    t0 = np.asarray(jax.tree_util.tree_leaves(state.params_t)[0])
+
+    # force some candidates: with a fresh model tau=0 some NCC logits exceed it
+    state1, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
+    for k in ("loss", "sup_seg", "mse", "lasermix", "calib", "thr_loss"):
+        assert np.isfinite(float(m[k])), k
+    # EMA: t1 == 0.99 * t0 + 0.01 * s1 exactly (`:246-248,2223-2224`)
+    t1 = np.asarray(jax.tree_util.tree_leaves(state1.params_t)[0])
+    s1 = np.asarray(jax.tree_util.tree_leaves(state1.params_s)[0])
+    np.testing.assert_allclose(t1, 0.99 * t0 + 0.01 * s1, rtol=1e-5, atol=1e-6)
+    # second step runs from donated state
+    state2, m2 = discover_train_step(state1, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
+    assert np.isfinite(float(m2["loss"]))
+    assert int(state2.step) == 2
+
+
+def test_discover_eval_protocol(setup):
+    cfg, mapping, inv, unknown, lab_ds, unlab_ds, val_ds = setup
+    state = create_discover_state(jax.random.PRNGKey(1), cfg)
+    unknown_real = [k for k, v in mapping.items() if v == cfg.unknown_label]
+    extra = {cfg.unknown_label + i: unknown_real[i] for i in range(len(unknown_real))}
+    lut = jnp.asarray(
+        inv_label_lut(inv, cfg.num_labeled_classes + cfg.num_unlabeled_classes, extra)
+    )
+    batch = collate_batch([val_ds[0], val_ds[1]], CAPS[0], point_cap=1024)
+    conf = discover_eval_step(
+        state,
+        voxel_batch_to_device(batch["voxel"]),
+        point_batch_to_device(batch["points"]),
+        lut,
+        cfg,
+    )
+    conf = np.asarray(conf)
+    assert conf.shape == (19, 19)
+    assert conf.sum() > 0
+
+    from gcdlss_tpu.eval.metrics import discovery_iou
+
+    known_real = [k for k, v in mapping.items() if v != cfg.unknown_label]
+    iou, miou, miou_old, miou_new = discovery_iou(conf, known_real, unknown_real, 19)
+    assert iou.shape == (19,)
+    assert 0.0 <= miou <= 1.0
