@@ -65,6 +65,7 @@ class DiscoverConfig:
     point_cap: int  # per-scan point capacity
     voxel_size: float = 0.05
     arch: str = "MinkUNet34"
+    planes: tuple = (32, 64, 128, 256, 256, 128, 96, 96)
     in_channels: int = 1
     feat_dim: int = 96
     ncc_heads: int = 3
@@ -126,6 +127,7 @@ def make_model(cfg: DiscoverConfig) -> MinkUNetRC:
         num_novel=cfg.num_unlabeled_classes,
         ncc_heads=cfg.ncc_heads,
         arch=cfg.arch,
+        planes=cfg.planes,
     )
 
 

@@ -36,6 +36,7 @@ class PretrainConfig:
     unknown_label: int
     voxel_caps: tuple
     arch: str = "MinkUNet34"
+    planes: tuple = (32, 64, 128, 256, 256, 128, 96, 96)
     in_channels: int = 1
     lr: float = 1e-2
     momentum: float = 0.9
@@ -48,7 +49,7 @@ class PretrainConfig:
 
 
 def make_model(cfg: PretrainConfig) -> MinkUNetSeg:
-    return MinkUNetSeg(num_classes=cfg.num_labeled_classes, arch=cfg.arch)
+    return MinkUNetSeg(num_classes=cfg.num_labeled_classes, arch=cfg.arch, planes=cfg.planes)
 
 
 def create_pretrain_state(rng: jax.Array, cfg: PretrainConfig) -> TrainState:
