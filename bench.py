@@ -29,7 +29,7 @@ def synth_scan_points(rng, n):
     """LiDAR-like point cloud: rings on the ground + structures (realistic
     voxel occupancy, ~60-75k unique voxels at 0.05 m from 80k points)."""
     n_ground = n // 2
-    r = np.sqrt(rng.uniform(4, 1, n_ground)) * 45
+    r = np.sqrt(rng.uniform(0.005, 1.0, n_ground)) * 45
     th = rng.uniform(0, 2 * np.pi, n_ground)
     g = np.stack([r * np.cos(th), r * np.sin(th), rng.normal(-1.6, 0.1, n_ground)], 1)
     rest = n - n_ground

@@ -1,0 +1,250 @@
+"""GCDLSS-TPU command-line launcher.
+
+Argument surface mirrors the reference CLI (`main.py:18-59`):
+
+    python main.py -s 1 --dataset SemanticKITTI \
+        --dataset_config gcdlss_tpu/configs/semkitti_minkunet.yaml \
+        --module ExpPretrain --experiment pretrain-split1 --use_scheduler
+
+    python main.py -s 1 --dataset SemanticKITTI --use_scheduler \
+        --module ExpMergeDiscover_LaserMix_MeanTeacher_NCCAdaptive \
+        --pretrained checkpoints/pretrain --epochs 50 --batch_size 4
+
+Split tables (`main.py:87-113`): KITTI s1 unk=[4,6] 50%, s2=[2,4,5] 45%,
+s3=[3,6,9] 40%; nuScenes s1=[1,8] 45%, s2=[1,2,5] 35%, s3=[0,4,7,8] 25%.
+Split index files are regenerated deterministically if absent (the reference's
+`split_npy/` content is missing from its snapshot).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+SEED = 1234
+
+parser = ArgumentParser()
+parser.add_argument("-s", "--split", default=1, type=int, required=False)
+parser.add_argument("--dataset", choices=["SemanticKITTI", "nuScenes"],
+                    default="SemanticKITTI", type=str)
+parser.add_argument("--dataset_config", default=None, type=str)
+parser.add_argument("--dataset_path", default=None, type=str)
+parser.add_argument("--voxel_size", default=0.05, type=float)
+parser.add_argument("--downsampling", default=80000, type=int)
+parser.add_argument("--batch_size", default=4, type=int)
+parser.add_argument("--num_workers", default=8, type=int)
+parser.add_argument("--log_dir", default="logs", type=str)
+parser.add_argument("--checkpoint_dir", default="checkpoints", type=str)
+parser.add_argument("--pretrained", type=str, default=None,
+                    help="Stage-1 checkpoint dir for Stage-2 warm start")
+parser.add_argument("--resume_checkpoint", type=str, default=None)
+parser.add_argument("--checkpoint", type=str, default=None)
+parser.add_argument("--train_lr", default=1e-2, type=float)
+parser.add_argument("--finetune_lr", default=1e-4, type=float)
+parser.add_argument("--use_scheduler", default=False, action="store_true")
+parser.add_argument("--warmup_epochs", default=4, type=int)
+parser.add_argument("--min_lr", default=1e-5, type=float)
+parser.add_argument("--momentum_for_optim", default=0.9, type=float)
+parser.add_argument("--weight_decay_for_optim", default=1e-4, type=float)
+parser.add_argument("--experiment", default="exp", type=str)
+parser.add_argument("--epochs", type=int, default=50)
+parser.add_argument("--set_deterministic", default=True, action="store_true")
+parser.add_argument("--visualize", default=False, action="store_true")
+parser.add_argument("--test", default=False, action="store_true")
+parser.add_argument("--debug", default=False, action="store_true")
+parser.add_argument("--module", type=str, default="ExpPretrain")
+parser.add_argument("--arch", type=str, default="MinkUNet34")
+parser.add_argument("--split_dir", type=str, default="split_npy")
+parser.add_argument("--voxel_cap", type=int, default=0)
+
+
+def main(args):
+    import jax
+
+    from gcdlss_tpu.config import ExperimentConfig, load_config
+    from gcdlss_tpu.data import (
+        SemanticKITTIDataset,
+        ensure_split_file,
+        load_split_indices,
+        PrefetchLoader,
+    )
+    from gcdlss_tpu.data.semantic_kitti import get_dataset
+    from gcdlss_tpu.train.checkpoint import CheckpointManager, save_pretrained, load_pretrained
+    from gcdlss_tpu.utils.logging import MetricsLogger
+
+    overrides = {k: v for k, v in vars(args).items() if v is not None}
+    cfg = load_config(args.dataset_config, **overrides)
+    if args.set_deterministic:
+        np.random.seed(SEED)
+
+    space = cfg.label_space()
+    print(f"Unknown labels in split {cfg.split}:")
+    for lab in space["unknown_labels"]:
+        raw = space["meta"]["learning_map_inv"][lab]
+        print(f"  {lab}: {space['meta']['labels'][raw]}")
+
+    caps = cfg.resolved_caps()
+    point_cap = cfg.point_cap or cfg.downsampling
+
+    logger = MetricsLogger(cfg.log_dir, cfg.experiment)
+    ds_cls = get_dataset(cfg.dataset, "any")
+
+    # split indices (regenerated if missing)
+    probe = ds_cls(cfg.dataset_path, "train")
+    split_path = ensure_split_file(
+        cfg.split_dir, cfg.dataset, cfg.split, len(probe)
+    )
+    split_idx = load_split_indices(split_path)
+
+    if cfg.module == "ExpPretrain":
+        from gcdlss_tpu.train.pretrain import PretrainConfig, ExpPretrain
+
+        pcfg = PretrainConfig(
+            num_labeled_classes=space["num_labeled_classes"],
+            num_classes=space["num_classes"],
+            unknown_label=space["unknown_label"],
+            voxel_caps=caps,
+            arch=cfg.arch,
+            lr=cfg.train_lr,
+            momentum=cfg.momentum_for_optim,
+            weight_decay=cfg.weight_decay_for_optim,
+            use_scheduler=cfg.use_scheduler,
+            warmup_epochs=cfg.warmup_epochs,
+            min_lr=cfg.min_lr,
+            epochs=cfg.epochs,
+            steps_per_epoch=max(1, len(split_idx) // cfg.batch_size),
+        )
+        module = ExpPretrain(pcfg, space["label_mapping"], space["label_mapping_inv"])
+        train_ds = ds_cls(
+            cfg.dataset_path, "train", split_indices=split_idx, labeled=True,
+            voxel_size=cfg.voxel_size, downsampling=cfg.downsampling,
+            augment=True, label_mapping=space["label_mapping"],
+            unknown_labels=space["unknown_labels"], seed=SEED,
+        )
+        val_ds = ds_cls(
+            cfg.dataset_path, "valid", voxel_size=cfg.voxel_size,
+            label_mapping=space["label_mapping"],
+            unknown_labels=space["unknown_labels"],
+        )
+        if cfg.debug:
+            train_ds.num_files = min(train_ds.num_files, 50)
+            val_ds.num_files = min(val_ds.num_files, 50)
+        mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        if cfg.test:
+            restored = mgr.restore(module.state)
+            if restored is not None:
+                module.state = restored
+            loader = PrefetchLoader(val_ds, cfg.batch_size, caps[0],
+                                    point_cap=point_cap, shuffle=False,
+                                    num_workers=cfg.num_workers, drop_last=False)
+            print(module.validate(loader))
+            return
+        for epoch in range(cfg.epochs):
+            loader = PrefetchLoader(train_ds, cfg.batch_size, caps[0],
+                                    num_workers=cfg.num_workers, seed=epoch)
+            loss = module.train_epoch(loader)
+            vloader = PrefetchLoader(val_ds, cfg.batch_size, caps[0],
+                                     point_cap=point_cap, shuffle=False,
+                                     num_workers=cfg.num_workers, drop_last=False)
+            vm = module.validate(vloader)
+            logger.log_dict(
+                {"train/loss": loss, "valid/mIoU": vm["mIoU"],
+                 "valid/mIoU_old": vm["mIoU_old"], "valid/loss": vm["loss"]},
+                epoch,
+            )
+            print(f"epoch {epoch}: loss={loss:.4f} mIoU={vm['mIoU']:.4f}")
+            mgr.save(epoch, module.state)
+        save_pretrained(
+            os.path.join(cfg.checkpoint_dir, cfg.experiment), module.state.params
+        )
+
+    elif "MergeDiscover" in cfg.module or "Merge" in cfg.module:
+        from gcdlss_tpu.train.discover import DiscoverConfig, make_discover_config
+        from gcdlss_tpu.train.modules import (
+            ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive,
+        )
+
+        half = caps[0] // 2
+        threshold_mode = (
+            "fixed_prob" if "NCCAdaptive" not in cfg.module else "adaptive_logit"
+        )
+        dcfg = DiscoverConfig(
+            num_labeled_classes=space["num_labeled_classes"],
+            num_unlabeled_classes=space["num_unlabeled_classes"],
+            num_classes=space["num_classes"],
+            unknown_label=space["unknown_label"],
+            voxel_caps=caps,
+            sup_voxel_cap=half,
+            mix_voxel_caps=caps,
+            num_sup_scans=cfg.batch_size // 2,
+            point_cap=point_cap,
+            voxel_size=cfg.voxel_size,
+            arch=cfg.arch,
+            threshold_mode=threshold_mode,
+            lr=cfg.train_lr,
+            momentum=cfg.momentum_for_optim,
+            weight_decay=cfg.weight_decay_for_optim,
+            use_scheduler=cfg.use_scheduler,
+            warmup_epochs=cfg.warmup_epochs,
+            min_lr=cfg.min_lr,
+            epochs=cfg.epochs,
+            steps_per_epoch=max(1, len(split_idx) // max(cfg.batch_size // 2, 1)),
+            **make_discover_config(cfg.dataset),
+        )
+        pretrained = None
+        if cfg.pretrained:
+            from gcdlss_tpu.train.pretrain import PretrainConfig, create_pretrain_state
+
+            tmpl_cfg = PretrainConfig(
+                num_labeled_classes=space["num_labeled_classes"],
+                num_classes=space["num_classes"],
+                unknown_label=space["unknown_label"],
+                voxel_caps=caps,
+                arch=cfg.arch,
+            )
+            tmpl = create_pretrain_state(jax.random.PRNGKey(0), tmpl_cfg)
+            pretrained = load_pretrained(cfg.pretrained, tmpl.params)
+
+        mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        module = ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive(
+            dcfg, space["label_mapping"], space["label_mapping_inv"],
+            pretrained_params=pretrained, logger=logger, checkpoint_manager=mgr,
+        )
+        if cfg.resume_checkpoint:
+            restored = mgr.restore(module.state)
+            if restored is not None:
+                module.state = restored
+
+        common = dict(
+            voxel_size=cfg.voxel_size, downsampling=cfg.downsampling,
+            augment=True, label_mapping=space["label_mapping"],
+            unknown_labels=space["unknown_labels"],
+        )
+        lab_ds = ds_cls(cfg.dataset_path, "train", split_indices=split_idx,
+                        labeled=True, resize_aug=True, seed=SEED, **common)
+        unlab_ds = ds_cls(cfg.dataset_path, "train", split_indices=split_idx,
+                          labeled=False, seed=SEED + 1, **common)
+        val_ds = ds_cls(cfg.dataset_path, "valid", voxel_size=cfg.voxel_size,
+                        label_mapping=space["label_mapping"],
+                        unknown_labels=space["unknown_labels"])
+        if cfg.debug:
+            lab_ds.num_files = min(lab_ds.num_files, 200)
+            unlab_ds.num_files = min(unlab_ds.num_files, 200)
+            val_ds.num_files = min(val_ds.num_files, 50)
+        if cfg.test:
+            print(module.validate(val_ds, cfg.num_workers))
+            return
+        history = module.fit(
+            lab_ds, unlab_ds, val_ds, epochs=cfg.epochs,
+            num_workers=cfg.num_workers,
+        )
+        for rec in history[-3:]:
+            print(rec)
+    else:
+        raise NameError(f"Unknown module {cfg.module}")
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())
