@@ -63,6 +63,8 @@ def main():
         unknown_label=17,
         voxel_caps=caps,
         arch="MinkUNet34",
+        dtype="bfloat16",
+        remat=True,
         steps_per_epoch=1000,
     )
 

@@ -52,6 +52,7 @@ class BasicBlock(nn.Module):
     """conv3-bn-relu-conv3-bn + (1x1 proj if channels change), relu."""
 
     planes: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
@@ -62,7 +63,7 @@ class BasicBlock(nn.Module):
         out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv2")(out, nbr, valid)
         out = SparseBatchNorm(name="norm2")(out, valid, not train)
         if x.shape[-1] != self.planes:
-            residual = nn.Dense(self.planes, use_bias=False, name="proj")(x)
+            residual = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="proj")(x)
             residual = SparseBatchNorm(name="proj_norm")(residual, valid, not train)
         return mask_rows(nn.relu(out + residual), valid)
 
@@ -71,22 +72,23 @@ class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1(x4) bottleneck residual block (expansion 4)."""
 
     planes: int
+    dtype: Any = jnp.float32
     EXPANSION = 4
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
         residual = x
         out_ch = self.planes * self.EXPANSION
-        out = nn.Dense(self.planes, use_bias=False, name="conv1")(x)
+        out = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = SparseBatchNorm(name="norm1")(out, valid, not train)
         out = nn.relu(out)
         out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv2")(out, nbr, valid)
         out = SparseBatchNorm(name="norm2")(out, valid, not train)
         out = nn.relu(out)
-        out = nn.Dense(out_ch, use_bias=False, name="conv3")(out)
+        out = nn.Dense(out_ch, use_bias=False, dtype=self.dtype, name="conv3")(out)
         out = SparseBatchNorm(name="norm3")(out, valid, not train)
         if x.shape[-1] != out_ch:
-            residual = nn.Dense(out_ch, use_bias=False, name="proj")(x)
+            residual = nn.Dense(out_ch, use_bias=False, dtype=self.dtype, name="proj")(x)
             residual = SparseBatchNorm(name="proj_norm")(residual, valid, not train)
         return mask_rows(nn.relu(out + residual), valid)
 
@@ -103,12 +105,16 @@ class _ResLayer(nn.Module):
     kind: str
     planes: int
     blocks: int
+    dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
         cls = _block_cls(self.kind)
+        if self.remat:
+            cls = nn.remat(cls, static_argnums=(4,))
         for i in range(self.blocks):
-            x = cls(self.planes, name=f"block{i}")(x, nbr, valid, train)
+            x = cls(self.planes, self.dtype, name=f"block{i}")(x, nbr, valid, train)
         return x
 
 
@@ -119,6 +125,8 @@ class MinkUNetBackbone(nn.Module):
     planes: tuple = DEFAULT_PLANES
     init_dim: int = 32
     layers_override: Any = None
+    dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
+    remat: bool = False  # rematerialize residual stacks (memory vs FLOPs)
 
     @nn.compact
     def __call__(self, plan, feats, train: bool):
@@ -130,6 +138,7 @@ class MinkUNetBackbone(nn.Module):
         lv = plan.levels
         pools = plan.pools
         caps = [l.coords.shape[0] for l in lv]
+        feats = feats.astype(self.dtype)
 
         # ---- stem (k=5, stride 1) ----
         x = SparseConv(self.init_dim, kernel_volume=plan.stem_nbr.shape[1], name="conv0p1s1")(
@@ -147,7 +156,8 @@ class MinkUNetBackbone(nn.Module):
             )
             x = SparseBatchNorm(name=f"bn{i + 1}")(x, lv[i + 1].valid, not train)
             x = nn.relu(x)
-            x = _ResLayer(kind, p[i], layers[i], name=f"block{i + 1}")(
+            x = _ResLayer(kind, p[i], layers[i], self.dtype, self.remat,
+                          name=f"block{i + 1}")(
                 x, lv[i + 1].nbr3, lv[i + 1].valid, train
             )
             skips.append(x)
@@ -160,8 +170,9 @@ class MinkUNetBackbone(nn.Module):
             x = nn.relu(x)
             skip = skips[lvl]
             x = jnp.concatenate([x, skip], axis=-1)
-            x = _ResLayer(kind, p[4 + j], layers[4 + j], name=f"block{5 + j}")(
-                x, lv[lvl].nbr3 if lvl > 0 else lv[0].nbr3, lv[lvl].valid, train
+            x = _ResLayer(kind, p[4 + j], layers[4 + j], self.dtype, self.remat,
+                          name=f"block{5 + j}")(
+                x, lv[lvl].nbr3, lv[lvl].valid, train
             )
         return x  # [cap0, planes[7]*exp]
 
@@ -176,10 +187,14 @@ class MinkUNetSeg(nn.Module):
     num_classes: int
     arch: str = "MinkUNet34"
     planes: tuple = DEFAULT_PLANES
+    dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
-        h = MinkUNetBackbone(self.arch, self.planes, name="encoder")(plan, feats, train)
+        h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
+                             remat=self.remat, name="encoder")(plan, feats, train)
+        h = h.astype(jnp.float32)  # heads + losses in f32
         logits = nn.Dense(self.num_classes, name="final")(h)
         valid = plan.levels[0].valid
         return {
@@ -202,10 +217,14 @@ class MinkUNetRC(nn.Module):
     ncc_heads: int = 3
     arch: str = "MinkUNet34"
     planes: tuple = DEFAULT_PLANES
+    dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
-        h = MinkUNetBackbone(self.arch, self.planes, name="encoder")(plan, feats, train)
+        h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
+                             remat=self.remat, name="encoder")(plan, feats, train)
+        h = h.astype(jnp.float32)
         valid = plan.levels[0].valid
         out = {
             "feats": h,

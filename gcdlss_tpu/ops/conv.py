@@ -37,13 +37,15 @@ def gather_conv(
 
     Args:
       feats: [N, Ci] padded features (invalid rows must be 0).
-      nbr: [N, K] neighbor row indices, -1 where absent.
+      nbr: [M, K] neighbor row indices into feats, -1 where absent. M == N for
+        submanifold convs; strided rulebooks may have M != N.
       weight: [K, Ci, Co].
       bias: optional [Co].
-    Returns [N, Co] (invalid rows stay 0 iff their nbr rows are -1/zeros; callers
+    Returns [M, Co] (invalid rows stay 0 iff their nbr rows are -1/zeros; callers
     re-mask after bias-adds).
     """
-    n, ci = feats.shape
+    n = nbr.shape[0]
+    ci = feats.shape[1]
     k = nbr.shape[1]
     co = weight.shape[2]
     dt = compute_dtype or feats.dtype

@@ -67,6 +67,8 @@ class DiscoverConfig:
     arch: str = "MinkUNet34"
     planes: tuple = (32, 64, 128, 256, 256, 128, 96, 96)
     in_channels: int = 1
+    dtype: str = "float32"  # activation dtype: "bfloat16" on TPU
+    remat: bool = False
     feat_dim: int = 96
     ncc_heads: int = 3
     # discovery knobs
@@ -128,6 +130,8 @@ def make_model(cfg: DiscoverConfig) -> MinkUNetRC:
         ncc_heads=cfg.ncc_heads,
         arch=cfg.arch,
         planes=cfg.planes,
+        dtype=jnp.dtype(cfg.dtype),
+        remat=cfg.remat,
     )
 
 
@@ -143,35 +147,39 @@ def create_discover_state(
     coords = np.zeros((cap0, 4), np.int32)
     coords[:, 1] = np.arange(cap0) % 101
     coords[:, 2] = np.arange(cap0) // 101
-    plan = build_unet_plan(
-        jnp.asarray(coords), jnp.ones((cap0,), bool), cfg.voxel_caps
-    )
-    feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
-    rng, k1 = jax.random.split(rng)
-    variables = model.init(k1, plan, feats, train=False)
-    params = variables["params"]
-    bstats = variables.get("batch_stats", {})
-    if pretrained_params is not None:
-        # warm-start backbone + `final` from Stage 1 (strict=False load:
-        # `exp_merge_mean_teacher.py:229-244`); final2/final3 stay fresh.
-        params = dict(params)
-        for key in ("encoder", "final"):
-            if key in pretrained_params:
-                params[key] = pretrained_params[key]
-    tau = jnp.zeros((), jnp.float32)
     tx = make_optimizer(cfg)
-    opt_state = tx.init({"model": params, "tau": tau})
-    return DiscoverState(
-        params_s=params,
-        batch_stats_s=bstats,
-        params_t=jax.tree_util.tree_map(jnp.copy, params),
-        batch_stats_t=jax.tree_util.tree_map(jnp.copy, bstats),
-        tau=tau,
-        opt_state=opt_state,
-        queue=queue_init(cfg.queue_slots, cfg.queue_per_slot, cfg.feat_dim),
-        step=jnp.zeros((), jnp.int32),
-        rng=rng,
-    )
+    rng, k1 = jax.random.split(rng)
+
+    # single jit (see create_pretrain_state): avoids eager op-by-op dispatch
+    @jax.jit
+    def _init(rng, k1, coords):
+        plan = build_unet_plan(coords, jnp.ones((cap0,), bool), cfg.voxel_caps)
+        feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
+        variables = model.init(k1, plan, feats, train=False)
+        params = variables["params"]
+        bstats = variables.get("batch_stats", {})
+        if pretrained_params is not None:
+            # warm-start backbone + `final` from Stage 1 (strict=False load:
+            # `exp_merge_mean_teacher.py:229-244`); final2/final3 stay fresh.
+            params = dict(params)
+            for key in ("encoder", "final"):
+                if key in pretrained_params:
+                    params[key] = pretrained_params[key]
+        tau = jnp.zeros((), jnp.float32)
+        opt_state = tx.init({"model": params, "tau": tau})
+        return DiscoverState(
+            params_s=params,
+            batch_stats_s=bstats,
+            params_t=jax.tree_util.tree_map(jnp.copy, params),
+            batch_stats_t=jax.tree_util.tree_map(jnp.copy, bstats),
+            tau=tau,
+            opt_state=opt_state,
+            queue=queue_init(cfg.queue_slots, cfg.queue_per_slot, cfg.feat_dim),
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+    return _init(rng, k1, jnp.asarray(coords))
 
 
 def _combine_batches(sup_vb: dict, unsup_vb: dict, cfg: DiscoverConfig):

@@ -38,6 +38,8 @@ class PretrainConfig:
     arch: str = "MinkUNet34"
     planes: tuple = (32, 64, 128, 256, 256, 128, 96, 96)
     in_channels: int = 1
+    dtype: str = "float32"  # activation dtype: "bfloat16" on TPU
+    remat: bool = False
     lr: float = 1e-2
     momentum: float = 0.9
     weight_decay: float = 1e-4
@@ -49,7 +51,10 @@ class PretrainConfig:
 
 
 def make_model(cfg: PretrainConfig) -> MinkUNetSeg:
-    return MinkUNetSeg(num_classes=cfg.num_labeled_classes, arch=cfg.arch, planes=cfg.planes)
+    return MinkUNetSeg(
+        num_classes=cfg.num_labeled_classes, arch=cfg.arch, planes=cfg.planes,
+        dtype=jnp.dtype(cfg.dtype), remat=cfg.remat,
+    )
 
 
 def create_pretrain_state(rng: jax.Array, cfg: PretrainConfig) -> TrainState:
@@ -61,16 +66,23 @@ def create_pretrain_state(rng: jax.Array, cfg: PretrainConfig) -> TrainState:
     dummy_valid = np.ones((cap0,), bool)
     from ..ops.plan import build_unet_plan
 
-    plan = build_unet_plan(jnp.asarray(dummy_coords), jnp.asarray(dummy_valid), cfg.voxel_caps)
-    feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
-    variables = model.init(rng, plan, feats, train=False)
     tx = make_sgd(cfg, make_lr_schedule(cfg))
-    return TrainState(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
-        step=jnp.zeros((), jnp.int32),
-    )
+
+    # everything inside one jit: eager plan-building/init would dispatch
+    # hundreds of ops one-by-one (pathological over a remote-TPU tunnel)
+    @jax.jit
+    def _init(rng, coords, valid):
+        plan = build_unet_plan(coords, valid, cfg.voxel_caps)
+        feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
+        variables = model.init(rng, plan, feats, train=False)
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    return _init(rng, jnp.asarray(dummy_coords), jnp.asarray(dummy_valid))
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
