@@ -78,6 +78,7 @@ class SemanticKITTIDataset:
         num_train_labels: int = 19,
         seed: int | None = None,
         sequences=None,
+        polarmix: bool = False,
     ):
         self.meta = dataset_meta("SemanticKITTI")
         self.root = root
@@ -137,10 +138,26 @@ class SemanticKITTIDataset:
                     self.map_lut[k] = v
         else:
             self.map_lut = None
+        self.polarmix = polarmix
         self.num_files = len(self.scan_files)
 
     def __len__(self):
         return self.num_files
+
+    def _load_mapped(self, t: int):
+        """Load scan t with downsample + label decode (for PolarMix pairing)."""
+        xyz, feat = read_scan(self.scan_files[t])
+        sel = np.arange(xyz.shape[0])
+        if self.downsampling != -1 and xyz.shape[0] > self.downsampling:
+            sel = np.sort(
+                self.rng.choice(xyz.shape[0], self.downsampling, replace=False)
+            )
+            xyz, feat = xyz[sel], feat[sel]
+        sem, _ = read_label(self.label_files[t])
+        sem = sem[sel]
+        labels = self.lut[np.clip(sem, 0, self.lut.shape[0] - 1)]
+        keep = labels != -1
+        return xyz[keep], feat[keep], labels[keep].astype(np.int32)
 
     def __getitem__(self, t: int) -> ScanSample:
         xyz, feat = read_scan(self.scan_files[t])
@@ -170,6 +187,30 @@ class SemanticKITTIDataset:
         else:
             labels = np.full(xyz.shape[0], -1, np.int32)
             mapped = labels.copy()
+
+        if self.polarmix and self.augment and self.has_labels:
+            # PolarMix: azimuth-sector swap + instance rotate-paste with a
+            # second random scan (`dataset_remission_mean_teacher.py:1243-1262`)
+            other = self._load_mapped(int(self.rng.integers(0, self.num_files)))
+            alpha = (self.rng.random() - 1.0) * np.pi
+            beta = alpha + np.pi
+            omega = (
+                self.rng.random() * np.pi * 2 / 3,
+                (self.rng.random() + 1) * np.pi * 2 / 3,
+            )
+            scan1 = np.concatenate([xyz, feat], axis=1)
+            scan2 = np.concatenate([other[0], other[1]], axis=1)
+            mixed, mixed_labels = aug.polarmix(
+                self.rng, scan1, labels, scan2, other[2],
+                alpha=alpha, beta=beta, omega=omega,
+            )
+            xyz = mixed[:, :3].astype(np.float32)
+            feat = mixed[:, 3:4].astype(np.float32)
+            labels = mixed_labels.astype(np.int32)
+            mapped = (
+                self.map_lut[labels] if self.map_lut is not None else labels.copy()
+            )
+            sel = np.arange(xyz.shape[0])
 
         if self.augment:
             mtx = aug.random_transformation(self.rng)

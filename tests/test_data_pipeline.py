@@ -101,3 +101,18 @@ def test_split_files(kitti_root, tmp_path):
     unlab = SemanticKITTIDataset(kitti_root, "train", split_indices=idx, labeled=False)
     assert len(lab) == 2 and len(unlab) == 2
     assert set(lab.scan_files).isdisjoint(unlab.scan_files)
+
+
+def test_polarmix_dataset(kitti_root):
+    unknown, _ = split_table("SemanticKITTI", 1)
+    meta = dataset_meta("SemanticKITTI")
+    mapping, inv, unk = build_label_mapping(unknown, meta["learning_map_inv"].keys())
+    ds = SemanticKITTIDataset(
+        kitti_root, "train", voxel_size=0.1, downsampling=1200, augment=True,
+        label_mapping=mapping, unknown_labels=unknown, polarmix=True, seed=7,
+    )
+    s = ds[0]
+    # mixed cloud has points from two scans plus rotate-pasted instances
+    assert s.points.shape[0] == s.labels.shape[0] == s.mapped_labels.shape[0]
+    assert s.voxel_coords.shape[0] <= s.points.shape[0]
+    assert s.mapped_labels.min() >= 0
