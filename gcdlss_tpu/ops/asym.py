@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .coords import encode_coords, sorted_unique, lookup_sorted, decode_keys, SENTINEL_HI
+from .join import sorted_join
 from .plan import KERNEL_OFFSETS_3
 
 
@@ -87,7 +88,7 @@ def strided_down_map(coarse_coords, coarse_valid, fine_keys, stride_vec):
         coarse_valid[:, None], (coarse_valid.shape[0], offs.shape[0])
     ).reshape(-1)
     qh, ql = encode_coords(qc, qv)
-    idx = lookup_sorted(fine_keys[0], fine_keys[1], qh, ql)
+    idx = sorted_join(fine_keys[0], fine_keys[1], qh, ql)
     return idx.reshape(coarse_coords.shape[0], offs.shape[0])
 
 
@@ -114,7 +115,7 @@ def inverse_up_map(fine_coords, fine_valid, coarse_keys, stride_vec):
         jnp.broadcast_to(fine_valid[:, None], exact.shape) & exact
     ).reshape(-1)
     qh, ql = encode_coords(qc, qv)
-    idx = lookup_sorted(coarse_keys[0], coarse_keys[1], qh, ql)
+    idx = sorted_join(coarse_keys[0], coarse_keys[1], qh, ql)
     return idx.reshape(fine_coords.shape[0], offs.shape[0])
 
 

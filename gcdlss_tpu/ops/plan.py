@@ -35,6 +35,7 @@ from .coords import (
     lookup_sorted,
     decode_keys,
 )
+from .join import sorted_join
 
 
 def _offsets(k: int) -> np.ndarray:
@@ -83,7 +84,7 @@ def build_neighbor_map(
     qc = jnp.concatenate([b, q], axis=2).reshape(-1, 4)
     qv = jnp.broadcast_to(valid[:, None], (valid.shape[0], offs.shape[0])).reshape(-1)
     qh, ql = encode_coords(qc, qv)
-    idx = lookup_sorted(key_hi, key_lo, qh, ql)
+    idx = sorted_join(key_hi, key_lo, qh, ql)
     return idx.reshape(coords.shape[0], offs.shape[0])
 
 

@@ -1,0 +1,97 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gcdlss_tpu.algo.kmeans import cosine_kmeans
+from gcdlss_tpu.algo.hungarian_jax import hungarian_small
+from gcdlss_tpu.algo.queue import queue_init, queue_push, queue_flatten
+from gcdlss_tpu.algo.sinkhorn import sinkhorn_knopp, semi_sinkhorn_knopp
+from gcdlss_tpu.algo.clustering import OnlineSemiKMeans, pairwise_distance
+
+
+def test_cosine_kmeans_separates_clusters():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[0]
+    b = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[3]
+    feats = np.vstack([a, b]).astype(np.float32)
+    valid = np.ones(80, bool)
+    valid[70:] = False
+    assign, cents = cosine_kmeans(
+        jnp.asarray(feats), jnp.asarray(valid), 2, jax.random.PRNGKey(0), iters=10
+    )
+    assign = np.asarray(assign)
+    assert np.all(assign[:40][valid[:40]] == assign[0])
+    assert np.all(assign[40:70] == assign[40])
+    assert assign[0] != assign[40]
+    assert np.all(assign[70:] == -1)
+
+
+def test_hungarian_small_matches_scipy():
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(1)
+    for k in (2, 3, 4):
+        cost = rng.integers(0, 100, (k, k)).astype(np.float32)
+        row_of_col = np.asarray(hungarian_small(jnp.asarray(cost), maximize=True))
+        r, c = linear_sum_assignment(cost.max() - cost)
+        expected = np.empty(k, np.int64)
+        expected[c] = r
+        got = sum(cost[row_of_col[j], j] for j in range(k))
+        best = sum(cost[expected[j], j] for j in range(k))
+        assert got == best  # same optimal value (ties allowed)
+
+
+def test_queue_fifo():
+    q = queue_init(slots=3, per_slot=4, dim=2)
+    for i in range(5):
+        feats = jnp.full((6, 2), float(i))
+        valid = jnp.asarray([True, True, True, False, False, False])
+        q = queue_push(q, feats, valid)
+    flat, valid = queue_flatten(q)
+    vals = np.asarray(flat)[np.asarray(valid)][:, 0]
+    # slots hold pushes 2,3,4 (oldest evicted), 3 valid rows each
+    assert sorted(set(vals.tolist())) == [2.0, 3.0, 4.0]
+    assert len(vals) == 9
+
+
+def test_sinkhorn_knopp_assignment_properties():
+    rng = np.random.default_rng(2)
+    feats = rng.normal(size=(32, 16)).astype(np.float32)
+    head = rng.normal(size=(16, 4)).astype(np.float32)
+    q = np.asarray(sinkhorn_knopp(jnp.asarray(feats), jnp.asarray(head)))
+    assert q.shape == (32, 4)
+    np.testing.assert_allclose(q.sum(axis=1), 1.0, atol=1e-3)
+    # queue rows participate but are not returned
+    queue = rng.normal(size=(8, 16)).astype(np.float32)
+    q2 = sinkhorn_knopp(
+        jnp.asarray(feats), jnp.asarray(head),
+        valid=jnp.ones(32, bool), queue=jnp.asarray(queue),
+        queue_valid=jnp.ones(8, bool),
+    )
+    assert q2.shape == (32, 4)
+
+
+def test_semi_sinkhorn_runs():
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(24, 5)).astype(np.float32))
+    plan, loss, kl = semi_sinkhorn_knopp(logits, num_iters=50)
+    assert np.isfinite(float(loss)) and np.isfinite(float(kl))
+    np.testing.assert_allclose(np.asarray(plan).sum(), 24.0, rtol=0.2)
+
+
+def test_online_semi_kmeans_fit_mix():
+    rng = np.random.default_rng(4)
+    l_feats = np.vstack(
+        [rng.normal(i * 4, 0.1, (20, 3)) for i in range(2)]
+    ).astype(np.float32)
+    l_targets = np.repeat([0, 1], 20)
+    u_feats = np.vstack(
+        [rng.normal(i * 4, 0.1, (15, 3)) for i in (0, 1, 3)]
+    ).astype(np.float32)
+    km = OnlineSemiKMeans(k=3, max_iterations=20, n_init=2)
+    labels = km.fit_mix(u_feats, l_feats, l_targets)
+    u_labels = labels[40:]
+    # unlabeled points near labeled class 0/1 join those clusters; the novel
+    # blob gets the extra cluster
+    assert u_labels[0] == 0 and u_labels[15] == 1
+    assert u_labels[30] == 2

@@ -81,3 +81,22 @@ def test_lookup_sorted():
     qh, ql = encode_coords(jnp.asarray(missing), jnp.zeros(2, bool))
     idx = lookup_sorted(uh, ul, qh, ql)
     assert np.all(np.asarray(idx) == -1)
+
+
+def test_sorted_join_matches_binary_search():
+    from gcdlss_tpu.ops.join import sorted_join
+
+    rng = np.random.default_rng(5)
+    coords = _rand_coords(rng, 400, lo=-10, hi=10)
+    valid = np.ones(400, bool)
+    valid[380:] = False
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inverse, count = sorted_unique(hi, lo, 400)
+
+    q = _rand_coords(rng, 900, lo=-12, hi=12)
+    qv = np.ones(900, bool)
+    qv[850:] = False
+    qh, ql = encode_coords(jnp.asarray(q), jnp.asarray(qv))
+    expected = np.asarray(lookup_sorted(uh, ul, qh, ql))
+    got = np.asarray(sorted_join(uh, ul, qh, ql))
+    np.testing.assert_array_equal(got, expected)
