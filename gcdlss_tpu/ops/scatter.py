@@ -71,6 +71,55 @@ def dynamic_scatter(feats, coords, valid, capacity: int, mode: str = "max"):
     }
 
 
+def hard_voxelize(points, feats, batch_idx, valid, point_cloud_range,
+                  voxel_size, max_voxels: int, max_points: int):
+    """mmcv 'hard' voxelization: per-voxel fixed-size point buffers.
+
+    Returns dict with voxels [max_voxels, max_points, C] (zero-padded),
+    num_points [max_voxels], coords [max_voxels, 4], valid. Points beyond
+    max_points per voxel and voxels beyond max_voxels are dropped
+    (reference `models/voxelizer.py:399-487` semantics).
+    """
+    coords, in_range = dynamic_voxelize(
+        points, batch_idx, valid, point_cloud_range, voxel_size
+    )
+    hi, lo = encode_coords(coords, in_range)
+    (uh, ul), rep, inverse, count = sorted_unique(hi, lo, max_voxels)
+    seg = jnp.where(in_range, jnp.minimum(inverse, max_voxels), max_voxels)
+    # slot of each point within its voxel: rank among same-voxel points.
+    # points were assigned group ids in sorted order; rank = position - first.
+    order = jnp.lexsort((jnp.arange(points.shape[0]), seg))
+    seg_sorted = seg[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), seg_sorted[1:] != seg_sorted[:-1]]
+    )
+    pos = jnp.arange(points.shape[0])
+    start = jnp.where(first, pos, 0)
+    start = jax.lax.associative_scan(jnp.maximum, start)
+    rank_sorted = pos - start
+    rank = jnp.zeros_like(seg).at[order].set(rank_sorted)
+    ok = in_range & (rank < max_points) & (seg < max_voxels)
+    c = feats.shape[-1]
+    voxels = jnp.zeros((max_voxels, max_points, c), feats.dtype)
+    flat_idx = jnp.where(ok, seg * max_points + rank, max_voxels * max_points)
+    voxels = (
+        voxels.reshape(-1, c).at[flat_idx].set(
+            jnp.where(ok[:, None], feats, 0.0), mode="drop"
+        ).reshape(max_voxels, max_points, c)
+    )
+    num = jax.ops.segment_sum(
+        ok.astype(jnp.int32), seg, num_segments=max_voxels + 1
+    )[:max_voxels]
+    vvalid = uh != jnp.int32((1 << 31) - 1)
+    return {
+        "voxels": voxels,
+        "num_points": num,
+        "coords": jnp.where(vvalid[:, None], decode_keys(uh, ul), 0),
+        "valid": vvalid,
+        "count": count,
+    }
+
+
 def scatter_mean(feats, index, num_segments: int):
     """torch_scatter.scatter_mean equivalent."""
     s = jax.ops.segment_sum(feats, index, num_segments=num_segments)

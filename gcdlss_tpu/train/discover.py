@@ -81,6 +81,7 @@ class DiscoverConfig:
     pseudo_thr: float = 0.9
     threshold_mode: str = "adaptive_logit"  # or "fixed_prob" (parent class)
     fixed_prob_thld: float = 0.2
+    assigner: str = "kmeans_hungarian"  # or "sinkhorn" (SK-based family)
     # loss coefficients (KITTI defaults; see make_discover_config)
     calib_coeff: float = 0.05
     mse_coeff: float = 200.0
@@ -281,39 +282,55 @@ def discover_train_step(
     all_feats = jnp.concatenate([cand_feats, qfeats], axis=0)
     all_valid = jnp.concatenate([cand_valid, qvalid], axis=0)
     n_all = jnp.sum(all_valid.astype(jnp.int32))
-    do_cluster = (n_cand > 0) & (n_all > (Ku + cfg.alpha))
-
-    assign_all, cents = cosine_kmeans(
-        all_feats, all_valid, Ku + cfg.alpha, k_kmeans, iters=cfg.kmeans_iters
-    )
-    # drop the alpha clusters most confidently claimed by the base classifier
-    fk = jax.lax.stop_gradient(state.params_s["final"]["kernel"])
-    fb = jax.lax.stop_gradient(state.params_s["final"]["bias"])
-    cluster_logits = cents @ fk + fb
-    _, unreliable = jax.lax.top_k(jnp.max(cluster_logits, axis=-1), cfg.alpha)
-    assign = assign_all[: cfg.cand_cap]
-    is_unreliable = jnp.any(
-        assign[:, None] == unreliable[None, :], axis=1
-    )
-    rel_mask = cand_valid & ~is_unreliable
-    n_rel = jnp.sum(rel_mask.astype(jnp.int32))
-    has_novel = do_cluster & (n_rel > 0)
-
-    # compact-relabel the surviving clusters to 0..M-1
-    nclu = Ku + cfg.alpha
-    present = jnp.zeros((nclu,), bool).at[jnp.where(rel_mask, assign, nclu - 1)].max(
-        rel_mask
-    )
-    new_id = jnp.cumsum(present.astype(jnp.int32)) - 1
-    rel_labels = jnp.clip(new_id[jnp.clip(assign, 0, nclu - 1)], 0, Ku - 1)
-
-    # per-step Hungarian: novel-head argmax vs cluster label (`:2991-3008`)
     w3 = jax.lax.stop_gradient(state.params_s["final3"]["kernel"])
     b3 = jax.lax.stop_gradient(state.params_s["final3"]["bias"])
-    novel_preds = jnp.argmax(cand_feats @ w3 + b3, axis=-1)
-    cost = confusion_update(novel_preds, rel_labels, Ku, rel_mask)
-    row_of_col = hungarian_small(cost.astype(jnp.float32), maximize=True)
-    mapped_novel = row_of_col[rel_labels] + K  # shifted (use_sup_logit)
+
+    if cfg.assigner == "sinkhorn":
+        # Sinkhorn-Knopp assignment of candidates against the novel-head
+        # prototypes with the queue in the marginals — the SK-based discovery
+        # family (`modules/exp.py:3290+` ExpMixRealMeanTeacherDiscover,
+        # `utils/sinkhorn_knopp.py:128-167`).
+        from ..algo.sinkhorn import sinkhorn_knopp
+
+        q_assign = sinkhorn_knopp(
+            cand_feats, w3, valid=cand_valid, queue=qfeats, queue_valid=qvalid
+        )
+        rel_mask = cand_valid
+        n_rel = n_cand
+        has_novel = n_cand > 0
+        mapped_novel = jnp.argmax(q_assign, axis=-1) + K
+    else:
+        do_cluster = (n_cand > 0) & (n_all > (Ku + cfg.alpha))
+
+        assign_all, cents = cosine_kmeans(
+            all_feats, all_valid, Ku + cfg.alpha, k_kmeans, iters=cfg.kmeans_iters
+        )
+        # drop the alpha clusters most confidently claimed by the base classifier
+        fk = jax.lax.stop_gradient(state.params_s["final"]["kernel"])
+        fb = jax.lax.stop_gradient(state.params_s["final"]["bias"])
+        cluster_logits = cents @ fk + fb
+        _, unreliable = jax.lax.top_k(jnp.max(cluster_logits, axis=-1), cfg.alpha)
+        assign = assign_all[: cfg.cand_cap]
+        is_unreliable = jnp.any(
+            assign[:, None] == unreliable[None, :], axis=1
+        )
+        rel_mask = cand_valid & ~is_unreliable
+        n_rel = jnp.sum(rel_mask.astype(jnp.int32))
+        has_novel = do_cluster & (n_rel > 0)
+
+        # compact-relabel the surviving clusters to 0..M-1
+        nclu = Ku + cfg.alpha
+        present = jnp.zeros((nclu,), bool).at[jnp.where(rel_mask, assign, nclu - 1)].max(
+            rel_mask
+        )
+        new_id = jnp.cumsum(present.astype(jnp.int32)) - 1
+        rel_labels = jnp.clip(new_id[jnp.clip(assign, 0, nclu - 1)], 0, Ku - 1)
+
+        # per-step Hungarian: novel-head argmax vs cluster label (`:2991-3008`)
+        novel_preds = jnp.argmax(cand_feats @ w3 + b3, axis=-1)
+        cost = confusion_update(novel_preds, rel_labels, Ku, rel_mask)
+        row_of_col = hungarian_small(cost.astype(jnp.float32), maximize=True)
+        mapped_novel = row_of_col[rel_labels] + K  # shifted (use_sup_logit)
 
     # ---------------- student loss ----------------
     def loss_fn(tree):

@@ -75,3 +75,24 @@ def test_cylinder3d_forward():
         out["logits_lab"], labels, out["voxel_valid"]
     )
     assert np.isfinite(float(loss))
+
+
+def test_hard_voxelize():
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.scatter import hard_voxelize
+
+    pts = np.array([[0.1, 0.1, 0.1], [0.15, 0.12, 0.11], [0.12, 0.13, 0.14],
+                    [3.0, 3.0, 0.5], [99.0, 0.0, 0.0]], np.float32)
+    feats = np.arange(10, dtype=np.float32).reshape(5, 2)
+    out = hard_voxelize(
+        jnp.asarray(pts), jnp.asarray(feats),
+        jnp.zeros(5, jnp.int32), jnp.ones(5, bool),
+        point_cloud_range=(0, 0, 0, 10, 10, 10), voxel_size=(1.0, 1.0, 1.0),
+        max_voxels=8, max_points=2,
+    )
+    # voxel (0,0,0) holds 3 points but max_points=2
+    num = np.asarray(out["num_points"])
+    assert int(out["count"]) == 2
+    assert sorted(num[num > 0].tolist()) == [1, 2]
+    # out-of-range point dropped
+    assert np.asarray(out["valid"]).sum() == 2
