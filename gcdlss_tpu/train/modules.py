@@ -150,6 +150,77 @@ class ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive:
             "conf": conf,
         }
 
+    # ------------------------------------------------------------------ test
+    def test(self, val_dataset, num_workers: int = 4, visualize: bool = False,
+             save_dir: str | None = None, confusion_png: str | None = None):
+        """Test protocol (`exp_merge_mean_teacher.py:2412-2560`): discovery
+        validation + optional PLY dumps of predictions/GT and a
+        confusion-matrix PNG."""
+        result = self.validate(val_dataset, num_workers)
+        if visualize and save_dir:
+            import os
+
+            from ..utils.visualize import get_color, write_ply
+            from ..data.collation import collate_batch
+            from .common import voxel_batch_to_device, point_batch_to_device
+            import numpy as np_
+
+            os.makedirs(save_dir, exist_ok=True)
+            cfg = self.cfg
+            for i in range(min(len(val_dataset), 4)):
+                s = val_dataset[i]
+                batch = collate_batch([s], cfg.voxel_caps[0], point_cap=cfg.point_cap)
+                # voxel predictions from the teacher
+                import jax.numpy as jnp_
+
+                conf_inc = None  # predictions via eval step internals
+                vb = voxel_batch_to_device(batch["voxel"])
+                from .discover import make_model
+                from ..ops.plan import build_unet_plan
+                from ..models.minkunet import assemble_novel_logits
+                import jax as jax_
+
+                plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps)
+                ok = plan.rep < vb["coords"].shape[0]
+                safe = jnp_.where(ok, plan.rep, 0)
+                feats0 = vb["feats"][safe] * ok[:, None].astype(vb["feats"].dtype)
+                out = make_model(cfg).apply(
+                    {"params": self.state.params_t,
+                     "batch_stats": self.state.batch_stats_t},
+                    plan, feats0, train=False,
+                )
+                logits = assemble_novel_logits(out)
+                preds = np_.asarray(
+                    self.inv_lut[jnp_.argmax(logits[:, :-1], axis=-1)]
+                )
+                coords = np_.asarray(plan.levels[0].coords)[:, 1:]
+                valid = np_.asarray(plan.levels[0].valid)
+                labels = np_.asarray(vb["labels"])[np_.asarray(safe)]
+                name = os.path.join(save_dir, f"{s.scan_idx:06d}")
+                write_ply(name + "-gt.ply",
+                          [coords[valid].astype(np_.float32),
+                           get_color(labels[valid])],
+                          ["x", "y", "z", "red", "green", "blue"])
+                write_ply(name + "-pd.ply",
+                          [coords[valid].astype(np_.float32),
+                           get_color(preds[valid])],
+                          ["x", "y", "z", "red", "green", "blue"])
+        if confusion_png:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(12, 12))
+            ax.imshow(result["conf"], cmap="Blues")
+            ax.set_xlabel("True Label")
+            ax.set_ylabel("Predicted Label")
+            ax.set_title("Confusion Matrix")
+            fig.tight_layout()
+            fig.savefig(confusion_png, dpi=120)
+            plt.close(fig)
+        return result
+
     # ------------------------------------------------------------------ fit
     def fit(self, lab_dataset, unlab_dataset, val_dataset=None, epochs: int = 1,
             num_workers: int = 4, validate_every: int = 1):
