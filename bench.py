@@ -64,7 +64,7 @@ def main():
         voxel_caps=caps,
         arch="MinkUNet34",
         dtype="bfloat16",
-        remat=True,
+        remat=False,
         steps_per_epoch=1000,
     )
 

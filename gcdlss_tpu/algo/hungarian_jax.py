@@ -30,11 +30,11 @@ def _assign(cost, perms, maximize: bool):
 _PERM_CACHE: dict = {}
 
 
-def _perms(k: int) -> jnp.ndarray:
+def _perms(k: int) -> np.ndarray:
+    # cache plain numpy — caching device arrays created inside a jit trace
+    # would leak tracers across retraces
     if k not in _PERM_CACHE:
-        _PERM_CACHE[k] = jnp.asarray(
-            np.array(list(itertools.permutations(range(k))), np.int32)
-        )
+        _PERM_CACHE[k] = np.array(list(itertools.permutations(range(k))), np.int32)
     return _PERM_CACHE[k]
 
 
@@ -46,4 +46,4 @@ def hungarian_small(cost: jax.Array, maximize: bool = True) -> jax.Array:
     """
     k = cost.shape[0]
     assert k <= 6, "brute-force hungarian is for tiny matrices"
-    return _assign(cost, _perms(k), maximize)
+    return _assign(cost, jnp.asarray(_perms(k)), maximize)

@@ -75,17 +75,24 @@ def build_neighbor_map(
     key_hi: jax.Array,
     key_lo: jax.Array,
     offsets: np.ndarray,
+    max_offsets_per_join: int = 32,
 ) -> jax.Array:
-    """[cap, K] neighbor row indices for submanifold conv (center included)."""
-    offs = jnp.asarray(offsets)  # [K, 3]
-    # queries: coords + offset, batch unchanged
-    q = coords[:, None, 1:4] + offs[None, :, :]  # [cap, K, 3]
-    b = jnp.broadcast_to(coords[:, None, 0:1], (coords.shape[0], offs.shape[0], 1))
-    qc = jnp.concatenate([b, q], axis=2).reshape(-1, 4)
-    qv = jnp.broadcast_to(valid[:, None], (valid.shape[0], offs.shape[0])).reshape(-1)
-    qh, ql = encode_coords(qc, qv)
-    idx = sorted_join(key_hi, key_lo, qh, ql)
-    return idx.reshape(coords.shape[0], offs.shape[0])
+    """[cap, K] neighbor row indices for submanifold conv (center included).
+
+    Large kernels (the 125-offset stem) are processed in offset chunks so each
+    sort-join stays a moderate size (compiler + memory friendliness)."""
+    chunks = []
+    for s in range(0, len(offsets), max_offsets_per_join):
+        offs = jnp.asarray(offsets[s : s + max_offsets_per_join])  # [k, 3]
+        k = offs.shape[0]
+        q = coords[:, None, 1:4] + offs[None, :, :]  # [cap, k, 3]
+        b = jnp.broadcast_to(coords[:, None, 0:1], (coords.shape[0], k, 1))
+        qc = jnp.concatenate([b, q], axis=2).reshape(-1, 4)
+        qv = jnp.broadcast_to(valid[:, None], (valid.shape[0], k)).reshape(-1)
+        qh, ql = encode_coords(qc, qv)
+        idx = sorted_join(key_hi, key_lo, qh, ql)
+        chunks.append(idx.reshape(coords.shape[0], k))
+    return jnp.concatenate(chunks, axis=1)
 
 
 def build_unet_plan(

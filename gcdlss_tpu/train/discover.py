@@ -79,8 +79,18 @@ class DiscoverConfig:
     queue_per_slot: int = 1024
     ema_momentum: float = 0.01
     pseudo_thr: float = 0.9
-    threshold_mode: str = "adaptive_logit"  # or "fixed_prob" (parent class)
+    # candidate-mining rule (module variants, SURVEY §2.1):
+    #   adaptive_logit — learnable tau (NCCAdaptive, `:2897-2933`)
+    #   hybrid         — learnable tau + offset, tau_init=-1.4 (`:3069-3262`)
+    #   fixed_prob     — NCC prob > 0.2 (parent class, `:2084-2087`)
+    #   oracle_logit   — fixed logit threshold (`:3394,3553`)
+    #   msp            — max-softmax-prob rule (`:3791+`)
+    threshold_mode: str = "adaptive_logit"
     fixed_prob_thld: float = 0.2
+    tau_init: float = 0.0
+    threshold_offset: float = 0.0
+    oracle_logit_thld: float = 0.2052
+    msp_threshold: float = 0.0883
     assigner: str = "kmeans_hungarian"  # or "sinkhorn" (SK-based family)
     # loss coefficients (KITTI defaults; see make_discover_config)
     calib_coeff: float = 0.05
@@ -144,7 +154,9 @@ def create_discover_state(
     rng: jax.Array, cfg: DiscoverConfig, pretrained_params: dict | None = None
 ) -> DiscoverState:
     model = make_model(cfg)
-    cap0 = cfg.voxel_caps[0]
+    # tiny init plan — params are capacity-independent (see create_pretrain_state)
+    cap0 = min(cfg.voxel_caps[0], 4096)
+    caps = tuple(min(c, 4096) for c in cfg.voxel_caps)
     coords = np.zeros((cap0, 4), np.int32)
     coords[:, 1] = np.arange(cap0) % 101
     coords[:, 2] = np.arange(cap0) // 101
@@ -154,7 +166,7 @@ def create_discover_state(
     # single jit (see create_pretrain_state): avoids eager op-by-op dispatch
     @jax.jit
     def _init(rng, k1, coords):
-        plan = build_unet_plan(coords, jnp.ones((cap0,), bool), cfg.voxel_caps)
+        plan = build_unet_plan(coords, jnp.ones((cap0,), bool), caps)
         feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
         variables = model.init(k1, plan, feats, train=False)
         params = variables["params"]
@@ -166,7 +178,7 @@ def create_discover_state(
             for key in ("encoder", "final"):
                 if key in pretrained_params:
                     params[key] = pretrained_params[key]
-        tau = jnp.zeros((), jnp.float32)
+        tau = jnp.asarray(cfg.tau_init, jnp.float32)
         opt_state = tx.init({"model": params, "tau": tau})
         return DiscoverState(
             params_s=params,
@@ -268,9 +280,17 @@ def discover_train_step(
     mix_labels0 = jnp.where(mix_ok, mix_labels0[mix_safe], -1)
 
     # ---------------- NCC candidate mining (teacher side, no grad) -----------
-    if cfg.threshold_mode == "adaptive_logit":
-        cand_mask = (dummy_t[:, -1] > state.tau) & unsup_mask
-    else:
+    if cfg.threshold_mode in ("adaptive_logit", "hybrid"):
+        cand_mask = (
+            dummy_t[:, -1] > (state.tau + cfg.threshold_offset)
+        ) & unsup_mask
+    elif cfg.threshold_mode == "oracle_logit":
+        cand_mask = (dummy_t[:, -1] > cfg.oracle_logit_thld) & unsup_mask
+    elif cfg.threshold_mode == "msp":
+        cand_mask = (
+            jnp.max(probs_t[:, :-1], axis=-1) < cfg.msp_threshold
+        ) & unsup_mask
+    else:  # fixed_prob
         cand_mask = (probs_t[:, -1] > cfg.fixed_prob_thld) & unsup_mask
     n_cand = jnp.sum(cand_mask.astype(jnp.int32))
     order = jnp.argsort(~cand_mask, stable=True)
@@ -362,7 +382,7 @@ def discover_train_step(
             dummy_s, sup_targets, cfg.unknown_label, valid0
         )
 
-        if cfg.threshold_mode == "adaptive_logit":
+        if cfg.threshold_mode in ("adaptive_logit", "hybrid"):
             l_thr = cfg.threshold_loss_weight * adaptive_threshold_loss(
                 dummy_s[:, -1], sup_targets, cfg.unknown_label, tau, valid0
             )

@@ -62,7 +62,8 @@ def create_finetune_state(rng, cfg: FineTuneConfig,
     from ..ops.plan import build_unet_plan
 
     model = make_model(cfg)
-    cap0 = cfg.voxel_caps[0]
+    cap0 = min(cfg.voxel_caps[0], 4096)
+    caps = tuple(min(c, 4096) for c in cfg.voxel_caps)
     coords = np.zeros((cap0, 4), np.int32)
     coords[:, 1] = np.arange(cap0) % 89
     coords[:, 2] = np.arange(cap0) // 89
@@ -70,7 +71,7 @@ def create_finetune_state(rng, cfg: FineTuneConfig,
 
     @jax.jit
     def _init(rng, coords):
-        plan = build_unet_plan(coords, jnp.ones((cap0,), bool), cfg.voxel_caps)
+        plan = build_unet_plan(coords, jnp.ones((cap0,), bool), caps)
         feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
         variables = model.init(rng, plan, feats, train=False)
         params = variables["params"]

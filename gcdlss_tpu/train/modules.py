@@ -96,11 +96,6 @@ class ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive:
 
     def train_epoch(self, lab_loader, unlab_loader):
         metrics_acc = []
-        # zip the two loaders, cycling the shorter (reference cycles both)
-        it = zip(
-            lab_loader,
-            itertools.chain.from_iterable(itertools.repeat(None)) if False else unlab_loader,
-        )
         for sup_batch, unsup_batch in zip(lab_loader, unlab_loader):
             m = self.train_step(sup_batch, unsup_batch)
             metrics_acc.append({k: float(np.asarray(v)) for k, v in m.items()})

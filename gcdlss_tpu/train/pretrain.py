@@ -59,7 +59,11 @@ def make_model(cfg: PretrainConfig) -> MinkUNetSeg:
 
 def create_pretrain_state(rng: jax.Array, cfg: PretrainConfig) -> TrainState:
     model = make_model(cfg)
-    cap0 = cfg.voxel_caps[0]
+    # params/opt-state shapes are capacity-independent: init with a tiny plan
+    # (keeps the init program small — full-capacity init costs a second huge
+    # XLA compile for nothing)
+    cap0 = min(cfg.voxel_caps[0], 4096)
+    caps = tuple(min(c, 4096) for c in cfg.voxel_caps)
     dummy_coords = np.zeros((cap0, 4), np.int32)
     dummy_coords[:, 1] = np.arange(cap0) % 97
     dummy_coords[:, 2] = np.arange(cap0) // 97
@@ -72,7 +76,7 @@ def create_pretrain_state(rng: jax.Array, cfg: PretrainConfig) -> TrainState:
     # hundreds of ops one-by-one (pathological over a remote-TPU tunnel)
     @jax.jit
     def _init(rng, coords, valid):
-        plan = build_unet_plan(coords, valid, cfg.voxel_caps)
+        plan = build_unet_plan(coords, valid, caps)
         feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
         variables = model.init(rng, plan, feats, train=False)
         return TrainState(

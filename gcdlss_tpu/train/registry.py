@@ -1,0 +1,50 @@
+"""Experiment-module registry: reference module names -> config recipes.
+
+Maps every runnable reference experiment class (SURVEY §2.1) onto this
+framework's config system. The exported modules are first-class; the
+ablation/threshold/assigner families are config switches on the same jitted
+Stage-2 step.
+"""
+
+from __future__ import annotations
+
+# name -> (stage, DiscoverConfig overrides)
+MODULE_REGISTRY: dict = {
+    # ---- exported (modules/__init__.py) ----
+    "ExpPretrain": ("pretrain", {}),
+    "ExpMergeDiscover_LaserMix_MeanTeacher_NCCAdaptive": (
+        "discover", dict(threshold_mode="adaptive_logit", alpha=5)
+    ),
+    # ---- parents / threshold ablations (exp_merge_mean_teacher.py) ----
+    "ExpMergeDiscover_LaserMix_MeanTeacher": (
+        "discover", dict(threshold_mode="fixed_prob", alpha=3)
+    ),
+    "ExpMergeDiscover_LaserMix_MeanTeacher_HybridAdaptive": (
+        "discover", dict(threshold_mode="hybrid", tau_init=-1.4, alpha=5)
+    ),
+    "ExpMergeDiscover_LaserMix_MeanTeacher_Oracle_threshold": (
+        "discover", dict(threshold_mode="oracle_logit", alpha=5)
+    ),
+    "ExpMergeDiscover_LaserMix_MeanTeacher_MSP_threshold": (
+        "discover", dict(threshold_mode="msp", alpha=5)
+    ),
+    # ---- Sinkhorn-Knopp assignment family (exp.py:3290+) ----
+    "ExpMixRealMeanTeacherDiscover": (
+        "discover", dict(assigner="sinkhorn", threshold_mode="fixed_prob")
+    ),
+    # ---- Stage 1.5 ----
+    "ExpFineTuning": ("finetune", {}),
+}
+
+
+def resolve_module(name: str):
+    if name in MODULE_REGISTRY:
+        return MODULE_REGISTRY[name]
+    # substring dispatch like the reference CLI (`main.py:172-293`)
+    if "Merge" in name or "Discover" in name:
+        return ("discover", {})
+    if "FineTuning" in name:
+        return ("finetune", {})
+    if "Pretrain" in name:
+        return ("pretrain", {})
+    raise NameError(f"Unknown module {name}")
