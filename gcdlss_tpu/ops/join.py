@@ -32,31 +32,35 @@ def sorted_join(table_hi, table_lo, q_hi, q_lo):
     n = table_hi.shape[0]
     m = q_hi.shape[0]
     hi = jnp.concatenate([table_hi, q_hi])
-    lo = jnp.concatenate([table_lo, q_lo])
-    tag = jnp.concatenate(
-        [jnp.zeros((n,), jnp.int32), jnp.ones((m,), jnp.int32)]
+    # pack the table/query tag into the low key's LSB (valid lo < 2^30, so
+    # lo*2+tag stays positive in int32; sentinel lo saturates but its hi key
+    # already sorts those rows last): one fewer sort operand, and table
+    # entries sort before queries on equal keys
+    lo2 = jnp.concatenate(
+        [
+            jnp.minimum(table_lo, (1 << 30) - 1) * 2,
+            jnp.minimum(q_lo, (1 << 30) - 1) * 2 + 1,
+        ]
     )
     payload = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
     )
-    hi_s, lo_s, tag_s, pay_s = jax.lax.sort(
-        (hi, lo, tag, payload), num_keys=3
-    )
+    hi_s, lo2_s, pay_s = jax.lax.sort((hi, lo2, payload), num_keys=2)
+    is_q = (lo2_s & 1) == 1
     # monotone fill: last table row index at or before each position
-    trow = jnp.where(tag_s == 0, pay_s, -1)
-    filled = jax.lax.associative_scan(jnp.maximum, trow)
+    trow = jnp.where(is_q, -1, pay_s)
+    filled = jax.lax.cummax(trow, axis=0)
     # validate: the filled table row must carry exactly this key
     safe = jnp.clip(filled, 0, n - 1)
     ok = (
         (filled >= 0)
         & (table_hi[safe] == hi_s)
-        & (table_lo[safe] == lo_s)
+        & (table_lo[safe] == (lo2_s >> 1))
         & (hi_s != SENTINEL_HI)
     )
     match = jnp.where(ok, filled, -1)
     # scatter back to query order
     out = jnp.full((m,), -1, jnp.int32)
-    is_q = tag_s == 1
     out = out.at[jnp.where(is_q, pay_s, m)].set(
         jnp.where(is_q, match, -1), mode="drop"
     )

@@ -95,7 +95,7 @@ def hard_voxelize(points, feats, batch_idx, valid, point_cloud_range,
     )
     pos = jnp.arange(points.shape[0])
     start = jnp.where(first, pos, 0)
-    start = jax.lax.associative_scan(jnp.maximum, start)
+    start = jax.lax.cummax(start, axis=0)
     rank_sorted = pos - start
     rank = jnp.zeros_like(seg).at[order].set(rank_sorted)
     ok = in_range & (rank < max_points) & (seg < max_voxels)

@@ -23,6 +23,17 @@ from argparse import ArgumentParser
 
 import numpy as np
 
+# persistent XLA compilation cache: the big sparse-UNet programs take minutes
+# to compile on this rig; cache hits make reruns instant
+import os as _os
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
 SEED = 1234
 
 parser = ArgumentParser()
