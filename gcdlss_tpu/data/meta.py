@@ -107,6 +107,41 @@ NUSC_COLOR_MAP = {
 }
 
 
+# ---------------------------------------------------------------- SemanticPOSS
+
+POSS_LABELS = {
+    0: "unlabeled", 4: "person", 5: "2+ person", 6: "rider", 7: "car",
+    8: "trunk", 9: "plants", 10: "traffic sign", 11: "traffic sign 2",
+    12: "traffic sign 3", 13: "pole", 14: "trashcan", 15: "building",
+    16: "cone-stone", 17: "fence", 21: "bike", 22: "other-ground",
+}
+
+POSS_LEARNING_MAP = {
+    0: -1, 1: -1, 2: -1, 3: -1, 4: 0, 5: 0, 6: 1, 7: 2, 8: 3, 9: 4, 10: 5,
+    11: 5, 12: 5, 13: 6, 14: 7, 15: 8, 16: 9, 17: 10, 18: -1, 19: -1,
+    20: -1, 21: 11, 22: 12,
+}
+
+POSS_LEARNING_MAP_INV = {
+    -1: 0, 0: 4, 1: 6, 2: 7, 3: 8, 4: 9, 5: 10, 6: 13, 7: 14, 8: 15, 9: 16,
+    10: 17, 11: 21, 12: 22,
+}
+
+POSS_SPLIT_SEQUENCES = {
+    "train": ["00", "01", "02", "04", "05"],
+    "valid": ["03"],
+    "test": [],
+}
+
+POSS_COLOR_MAP = {
+    0: [0, 0, 0], 4: [30, 30, 255], 5: [30, 30, 200], 6: [200, 40, 255],
+    7: [245, 150, 100], 8: [0, 60, 135], 9: [0, 175, 0], 10: [150, 240, 255],
+    11: [150, 200, 255], 12: [150, 160, 255], 13: [150, 240, 255],
+    14: [125, 255, 0], 15: [0, 200, 255], 16: [255, 150, 255],
+    17: [50, 120, 255], 21: [245, 230, 100], 22: [75, 0, 175],
+}
+
+
 def dataset_meta(name: str) -> dict:
     if name == "SemanticKITTI":
         return {
@@ -133,6 +168,17 @@ def dataset_meta(name: str) -> dict:
             "split_sequence": None,
             "folder_name": None,
             "num_classes": 16,
+        }
+    if name == "SemanticPOSS":
+        return {
+            "labels": POSS_LABELS,
+            "learning_map": POSS_LEARNING_MAP,
+            "learning_map_inv": POSS_LEARNING_MAP_INV,
+            "color_map": POSS_COLOR_MAP,
+            "content": None,
+            "split_sequence": POSS_SPLIT_SEQUENCES,
+            "folder_name": {"input": "velodyne", "label": "labels"},
+            "num_classes": 13,
         }
     raise NameError(f"Dataset {name} not implemented")
 

@@ -79,8 +79,9 @@ class SemanticKITTIDataset:
         seed: int | None = None,
         sequences=None,
         polarmix: bool = False,
+        dataset_name: str = "SemanticKITTI",
     ):
-        self.meta = dataset_meta("SemanticKITTI")
+        self.meta = dataset_meta(dataset_name)
         self.root = root
         self.voxel_size = voxel_size
         self.downsampling = downsampling
@@ -232,10 +233,22 @@ class SemanticKITTIDataset:
         )
 
 
+class SemanticPOSSDataset(SemanticKITTIDataset):
+    """SemanticPOSS (same on-disk layout as SemanticKITTI; 13 train classes).
+
+    Rebuild of `utils/dataset.py:1875-2190` on the unified loader."""
+
+    def __init__(self, root, split="train", *, num_train_labels: int = 13, **kw):
+        kw.setdefault("dataset_name", "SemanticPOSS")
+        super().__init__(root, split, num_train_labels=num_train_labels, **kw)
+
+
 def get_dataset(name: str, dtype: str):
     """Factory mirroring `dataset_remission_mean_teacher.get_dataset`."""
     if name == "SemanticKITTI":
         return SemanticKITTIDataset
+    if name == "SemanticPOSS":
+        return SemanticPOSSDataset
     if name == "nuScenes":
         from .nuscenes import NuScenesDataset
 
