@@ -20,8 +20,69 @@ Design notes (MXU-first):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+
+def _gather_conv_fwd_impl(feats, nbr, weight, precision):
+    n = nbr.shape[0]
+    co = weight.shape[2]
+    x = feats
+
+    def step(acc, inp):
+        nbr_k, w_k = inp
+        safe = jnp.where(nbr_k >= 0, nbr_k, 0)
+        g = x[safe] * (nbr_k >= 0)[:, None].astype(x.dtype)
+        return (
+            acc
+            + jnp.dot(g, w_k, preferred_element_type=jnp.float32, precision=precision),
+            None,
+        )
+
+    acc0 = jnp.zeros((n, co), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (nbr.T, weight))
+    return acc
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_conv_core(feats, nbr, weight, precision):
+    return _gather_conv_fwd_impl(feats, nbr, weight, precision)
+
+
+def _gc_fwd(feats, nbr, weight, precision):
+    # save only the inputs — naive autodiff of the offset scan stacks the
+    # gathered [K, N, Ci] operand as a residual (gigabytes at KITTI scale)
+    return _gather_conv_fwd_impl(feats, nbr, weight, precision), (feats, nbr, weight)
+
+
+def _gc_bwd(precision, res, g_out):
+    feats, nbr, weight = res
+    g_out = g_out.astype(jnp.float32)
+
+    def step(dx, inp):
+        nbr_k, w_k = inp
+        mask = (nbr_k >= 0)[:, None].astype(feats.dtype)
+        safe = jnp.where(nbr_k >= 0, nbr_k, 0)
+        g = feats[safe] * mask  # recomputed gather (cheap, frees the residual)
+        dW_k = jnp.dot(
+            g.T, g_out.astype(g.dtype), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        contrib = jnp.dot(
+            g_out, w_k.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * mask.astype(jnp.float32)
+        dx = dx.at[safe].add(contrib, mode="drop")
+        return dx, dW_k
+
+    dx0 = jnp.zeros(feats.shape, jnp.float32)  # accumulate grads in f32
+    dx, dW = jax.lax.scan(step, dx0, (nbr.T, weight))
+    return dx.astype(feats.dtype), None, dW.astype(weight.dtype)
+
+
+_gather_conv_core.defvjp(_gc_fwd, _gc_bwd)
 
 
 def gather_conv(
@@ -35,6 +96,9 @@ def gather_conv(
 ) -> jax.Array:
     """Submanifold sparse conv: out[i] = sum_k W[k] @ feats[nbr[i, k]].
 
+    Custom VJP: backward recomputes the per-offset gathers instead of saving
+    the stacked [K, N, Ci] operand (the dominant memory term at scale).
+
     Args:
       feats: [N, Ci] padded features (invalid rows must be 0).
       nbr: [M, K] neighbor row indices into feats, -1 where absent. M == N for
@@ -44,23 +108,8 @@ def gather_conv(
     Returns [M, Co] (invalid rows stay 0 iff their nbr rows are -1/zeros; callers
     re-mask after bias-adds).
     """
-    n = nbr.shape[0]
-    ci = feats.shape[1]
-    k = nbr.shape[1]
-    co = weight.shape[2]
     dt = compute_dtype or feats.dtype
-    w = weight.astype(dt)
-    x = feats.astype(dt)
-
-    def step(acc, inp):
-        nbr_k, w_k = inp
-        safe = jnp.where(nbr_k >= 0, nbr_k, 0)
-        g = x[safe] * (nbr_k >= 0)[:, None].astype(dt)
-        return acc + jnp.dot(g, w_k, preferred_element_type=jnp.float32, precision=precision), None
-
-    acc0 = jnp.zeros((n, co), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (nbr.T, w))
-    out = acc
+    out = _gather_conv_core(feats.astype(dt), nbr, weight.astype(dt), precision)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(feats.dtype)
