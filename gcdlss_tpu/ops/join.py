@@ -50,14 +50,20 @@ def sorted_join(table_hi, table_lo, q_hi, q_lo):
     # monotone fill: last table row index at or before each position
     trow = jnp.where(is_q, -1, pay_s)
     filled = jax.lax.cummax(trow, axis=0)
-    # validate: the filled table row must carry exactly this key
-    safe = jnp.clip(filled, 0, n - 1)
-    ok = (
-        (filled >= 0)
-        & (table_hi[safe] == hi_s)
-        & (table_lo[safe] == (lo2_s >> 1))
-        & (hi_s != SENTINEL_HI)
+    # validation without gathers: group equal (hi, lo) keys by adjacent
+    # compares; a query matches iff its group contains a table entry (which
+    # sorts first in the group), i.e. the cummax-filled table *group id*
+    # equals the query's own group id
+    lo_key = lo2_s >> 1
+    new_grp = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (hi_s[1:] != hi_s[:-1]) | (lo_key[1:] != lo_key[:-1]),
+        ]
     )
+    grp = jnp.cumsum(new_grp.astype(jnp.int32))
+    tgrp = jax.lax.cummax(jnp.where(is_q, -1, grp), axis=0)
+    ok = (filled >= 0) & (tgrp == grp) & (hi_s != SENTINEL_HI)
     match = jnp.where(ok, filled, -1)
     # scatter back to query order
     out = jnp.full((m,), -1, jnp.int32)
