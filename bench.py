@@ -37,17 +37,29 @@ VOXEL_SIZE = 0.05
 
 
 def synth_scan_points(rng, n):
-    """LiDAR-like point cloud: rings on the ground + structures (realistic
-    voxel occupancy, ~60-75k unique voxels at 0.05 m from 80k points)."""
-    n_ground = n // 2
-    r = np.sqrt(rng.uniform(0.005, 1.0, n_ground)) * 45
-    th = rng.uniform(0, 2 * np.pi, n_ground)
-    g = np.stack([r * np.cos(th), r * np.sin(th), rng.normal(-1.6, 0.1, n_ground)], 1)
-    rest = n - n_ground
-    c = rng.uniform(-40, 40, (rest // 200 + 1, 3)) * np.array([1, 1, 0])
-    idx = rng.integers(0, len(c), rest)
-    s = c[idx] + rng.normal(0, [1.5, 1.5, 1.0], (rest, 3)) + [0, 0, 1.0]
-    return np.concatenate([g, s]).astype(np.float32)
+    """Geometrically simulated spinning-LiDAR scan: 64 beams x azimuth steps
+    with ground + wall intersections. Near-sensor rings land multiple returns
+    per 0.05 m voxel, giving the realistic ~55-70% unique-voxel ratio of real
+    KITTI scans (the quantize/unique path must be benched at true dedupe)."""
+    beams = 64
+    per_beam = n // beams
+    elev = np.deg2rad(np.linspace(-24.0, 2.0, beams))  # HDL-64-ish
+    az = rng.uniform(0, 2 * np.pi, (beams, per_beam))
+    e = np.broadcast_to(elev[:, None], (beams, per_beam))
+    h = 1.73  # sensor height
+    # range to ground plane (capped at 80 m); upward beams hit "walls"
+    rng_ground = np.where(np.sin(e) < -1e-3, h / np.maximum(-np.sin(e), 1e-3), 80.0)
+    wall_r = rng.uniform(4, 60, (beams, per_beam))
+    hits_wall = rng.random((beams, per_beam)) < 0.35
+    r = np.minimum(rng_ground, np.where(hits_wall, wall_r, np.inf))
+    r = np.minimum(r, 80.0)
+    x = (r * np.cos(e) * np.cos(az)).reshape(-1)
+    y = (r * np.cos(e) * np.sin(az)).reshape(-1)
+    z = (h + r * np.sin(e)).reshape(-1)
+    pts = np.stack([x, y, z], 1)[: n]
+    if pts.shape[0] < n:
+        pts = np.concatenate([pts, pts[: n - pts.shape[0]]])
+    return (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
 
 
 def main():
@@ -66,7 +78,7 @@ def main():
     from gcdlss_tpu.train.common import make_sgd
     from gcdlss_tpu.train.schedule import make_lr_schedule
 
-    cap0 = 1 << 18  # 262144 voxel slots for 4 x 80k points
+    cap0 = 276480  # voxel slots for 4 x 80k points at ~83% unique
     caps = default_caps(cap0)
     cfg = PretrainConfig(
         num_labeled_classes=17,

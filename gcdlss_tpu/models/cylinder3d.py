@@ -108,7 +108,7 @@ class AsymSubMConv(nn.Module):
             "kernel", _kaiming_conv_init(len(cols)),
             (len(cols), x.shape[-1], self.features),
         )
-        return mask_rows(gather_conv(x, nbr, w), valid)
+        return mask_rows(gather_conv(x, nbr, w, symmetric_adjoint=True), valid)
 
 
 class _ConvActBN(nn.Module):
@@ -274,7 +274,7 @@ class Cylinder3DHead(nn.Module):
             "kernel", _kaiming_conv_init(27), (27, feats.shape[-1], self.num_classes)
         )
         b = self.param("bias", nn.initializers.zeros, (self.num_classes,))
-        return mask_rows(gather_conv(feats, nbr27, w, b), valid)
+        return mask_rows(gather_conv(feats, nbr27, w, b, symmetric_adjoint=True), valid)
 
     @staticmethod
     def loss(logits, labels, valid, lovasz_weight: float = 3.0):

@@ -51,7 +51,7 @@ class SparseConv(nn.Module):
             (self.kernel_volume, ci, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        out = gather_conv(x, nbr, w, b)
+        out = gather_conv(x, nbr, w, b, symmetric_adjoint=True)
         return mask_rows(out, valid)
 
 

@@ -46,39 +46,69 @@ def _gather_conv_fwd_impl(feats, nbr, weight, precision):
     return acc
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_conv_core(feats, nbr, weight, precision):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_conv_core(feats, nbr, weight, precision, symmetric_adjoint):
     return _gather_conv_fwd_impl(feats, nbr, weight, precision)
 
 
-def _gc_fwd(feats, nbr, weight, precision):
+def _gc_fwd(feats, nbr, weight, precision, symmetric_adjoint):
     # save only the inputs — naive autodiff of the offset scan stacks the
     # gathered [K, N, Ci] operand as a residual (gigabytes at KITTI scale)
     return _gather_conv_fwd_impl(feats, nbr, weight, precision), (feats, nbr, weight)
 
 
-def _gc_bwd(precision, res, g_out):
+def _gc_bwd(precision, symmetric_adjoint, res, g_out):
     feats, nbr, weight = res
     g_out = g_out.astype(jnp.float32)
+    n_out, k = nbr.shape
+    n_in = feats.shape[0]
+    gb = g_out.astype(feats.dtype)
 
-    def step(dx, inp):
+    def step_dw(_, inp):
         nbr_k, w_k = inp
         mask = (nbr_k >= 0)[:, None].astype(feats.dtype)
         safe = jnp.where(nbr_k >= 0, nbr_k, 0)
         g = feats[safe] * mask  # recomputed gather (cheap, frees the residual)
         dW_k = jnp.dot(
-            g.T, g_out.astype(g.dtype), preferred_element_type=jnp.float32,
-            precision=precision,
+            g.T, gb, preferred_element_type=jnp.float32, precision=precision
         )
-        contrib = jnp.dot(
-            g_out, w_k.astype(jnp.float32).T,
-            preferred_element_type=jnp.float32, precision=precision,
-        ) * mask.astype(jnp.float32)
-        dx = dx.at[safe].add(contrib, mode="drop")
-        return dx, dW_k
+        return 0, dW_k
 
-    dx0 = jnp.zeros(feats.shape, jnp.float32)  # accumulate grads in f32
-    dx, dW = jax.lax.scan(step, dx0, (nbr.T, weight))
+    _, dW = jax.lax.scan(step_dw, 0, (nbr.T, weight))
+
+    if symmetric_adjoint and n_out == n_in:
+        # submanifold map: the adjoint rulebook is the offset-reversed map
+        # (offset -d column sits at index K-1-k in itertools.product order),
+        # so dX is another gather-conv — gathers beat scatter-adds on TPU
+        def step_dx(dx, inp):
+            nbr_k, w_k = inp  # column K-1-k of nbr, weight W_k
+            mask = (nbr_k >= 0)[:, None].astype(jnp.float32)
+            safe = jnp.where(nbr_k >= 0, nbr_k, 0)
+            go = g_out[safe] * mask
+            return dx + jnp.dot(
+                go, w_k.astype(jnp.float32).T,
+                preferred_element_type=jnp.float32, precision=precision,
+            ), None
+
+        dx, _ = jax.lax.scan(
+            step_dx, jnp.zeros(feats.shape, jnp.float32),
+            (nbr.T[::-1], weight),
+        )
+    else:
+        # strided rulebook (M != N): generic scatter-add adjoint
+        def step_dx(dx, inp):
+            nbr_k, w_k = inp
+            mask = (nbr_k >= 0)[:, None].astype(jnp.float32)
+            safe = jnp.where(nbr_k >= 0, nbr_k, 0)
+            contrib = jnp.dot(
+                g_out, w_k.astype(jnp.float32).T,
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * mask
+            return dx.at[safe].add(contrib, mode="drop"), None
+
+        dx, _ = jax.lax.scan(
+            step_dx, jnp.zeros(feats.shape, jnp.float32), (nbr.T, weight)
+        )
     return dx.astype(feats.dtype), None, dW.astype(weight.dtype)
 
 
@@ -93,11 +123,16 @@ def gather_conv(
     *,
     compute_dtype=None,
     precision=None,
+    symmetric_adjoint: bool = False,
 ) -> jax.Array:
     """Submanifold sparse conv: out[i] = sum_k W[k] @ feats[nbr[i, k]].
 
     Custom VJP: backward recomputes the per-offset gathers instead of saving
     the stacked [K, N, Ci] operand (the dominant memory term at scale).
+    With `symmetric_adjoint=True` (valid ONLY for submanifold maps whose
+    offset list is negation-symmetric in product order — all k^3 kernels and
+    their axis subsets), dX uses the offset-reversed rulebook as a gather
+    instead of a scatter-add.
 
     Args:
       feats: [N, Ci] padded features (invalid rows must be 0).
@@ -109,7 +144,9 @@ def gather_conv(
     re-mask after bias-adds).
     """
     dt = compute_dtype or feats.dtype
-    out = _gather_conv_core(feats.astype(dt), nbr, weight.astype(dt), precision)
+    out = _gather_conv_core(
+        feats.astype(dt), nbr, weight.astype(dt), precision, symmetric_adjoint
+    )
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(feats.dtype)

@@ -51,8 +51,12 @@ class ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive:
         seed: int = 1234,
         logger=None,
         checkpoint_manager=None,
+        label_dict: dict | None = None,
     ):
         self.cfg = cfg
+        # train-label id -> class name (for per-class IoU logs,
+        # `exp_merge_mean_teacher.py:2391-2393`)
+        self.label_dict = label_dict or {}
         self.label_mapping = label_mapping
         self.label_mapping_inv = label_mapping_inv
         self.known_real_labels = [
@@ -137,13 +141,18 @@ class ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive:
         iou, miou, miou_old, miou_new = discovery_iou(
             conf, self.known_real_labels, self.unknown_real_labels, cfg.num_classes
         )
-        return {
+        out = {
             "mIoU": miou,
             "mIoU_old": miou_old,
             "mIoU_new": miou_new,
             "iou": iou,
             "conf": conf,
         }
+        if self.label_dict:
+            for cid, name in self.label_dict.items():
+                if 0 <= cid < len(iou):
+                    out[f"IoU/{name}"] = float(iou[cid])
+        return out
 
     # ------------------------------------------------------------------ test
     def test(self, val_dataset, num_workers: int = 4, visualize: bool = False,

@@ -219,9 +219,15 @@ def main(args):
             pretrained = load_pretrained(cfg.pretrained, tmpl.params)
 
         mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        label_dict = {
+            tid: space["meta"]["labels"][raw]
+            for tid, raw in space["meta"]["learning_map_inv"].items()
+            if tid >= 0
+        }
         module = ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive(
             dcfg, space["label_mapping"], space["label_mapping_inv"],
             pretrained_params=pretrained, logger=logger, checkpoint_manager=mgr,
+            label_dict=label_dict,
         )
         if cfg.resume_checkpoint:
             restored = mgr.restore(module.state)
