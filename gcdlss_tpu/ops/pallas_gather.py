@@ -70,9 +70,13 @@ def _kernel(starts_ref, x_hbm, rel_ref, mask_ref, w_ref, o_ref, xwin, sem,
     )
     cp.start()
     cp.wait()
+    block = o_ref.shape[0]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for j in range(k):
-        g = jnp.take(xwin[:], rel_ref[:, j], axis=0)
+        # Mosaic's dynamic gather wants len(indices) == len(input): pad the
+        # block's indices to the window length, gather, then slice back
+        idx_full = jnp.pad(rel_ref[:, j], (0, wsize - block))
+        g = jnp.take(xwin[:], idx_full, axis=0)[:block]
         g = g * mask_ref[:, j][:, None]
         acc = acc + jnp.dot(g, w_ref[j], preferred_element_type=jnp.float32)
     o_ref[:] = acc
