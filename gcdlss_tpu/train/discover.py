@@ -92,6 +92,12 @@ class DiscoverConfig:
     oracle_logit_thld: float = 0.2052
     msp_threshold: float = 0.0883
     assigner: str = "kmeans_hungarian"  # or "sinkhorn" (SK-based family)
+    # LiON variant (`exp_merge_mean_teacher.py:4190-4589`): swap calibration
+    # for the Gambler reservation loss + energy-margin OOD loss
+    use_lion: bool = False
+    lion_reward: float = 4.5
+    lion_ood_reg: float = 0.1
+    lion_coeff: float = 0.1
     # loss coefficients (KITTI defaults; see make_discover_config)
     calib_coeff: float = 0.05
     mse_coeff: float = 200.0
@@ -378,9 +384,21 @@ def discover_train_step(
             dummy_mix, mix_labels0, mix_plan.levels[0].valid
         )
 
-        l_cal = cfg.calib_coeff * calibration_loss(
-            dummy_s, sup_targets, cfg.unknown_label, valid0
-        )
+        if cfg.use_lion:
+            # LiON: energy-based OOD objectives instead of calibration
+            from ..losses_lion import gambler_loss, energy_loss
+
+            l_gam = gambler_loss(
+                dummy_s, sup_targets, valid0, cfg.unknown_label,
+                reward_default=cfg.lion_reward, ood_reg=cfg.lion_ood_reg,
+            )
+            l_en, _ = energy_loss(dummy_s, sup_targets, valid0,
+                                  ood_ind=cfg.unknown_label)
+            l_cal = cfg.lion_coeff * (l_gam + l_en)
+        else:
+            l_cal = cfg.calib_coeff * calibration_loss(
+                dummy_s, sup_targets, cfg.unknown_label, valid0
+            )
 
         if cfg.threshold_mode in ("adaptive_logit", "hybrid"):
             l_thr = cfg.threshold_loss_weight * adaptive_threshold_loss(

@@ -32,6 +32,10 @@ MODULE_REGISTRY: dict = {
     "ExpMixRealMeanTeacherDiscover": (
         "discover", dict(assigner="sinkhorn", threshold_mode="fixed_prob")
     ),
+    # ---- LiON energy-OOD variant ----
+    "ExpMergeDiscover_LaserMix_LiON_MeanTeacher": (
+        "discover", dict(threshold_mode="fixed_prob", use_lion=True, alpha=3)
+    ),
     # ---- Stage 1.5 ----
     "ExpFineTuning": ("finetune", {}),
 }

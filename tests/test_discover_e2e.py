@@ -132,3 +132,19 @@ def test_discover_eval_protocol(setup):
     iou, miou, miou_old, miou_new = discovery_iou(conf, known_real, unknown_real, 19)
     assert iou.shape == (19,)
     assert 0.0 <= miou <= 1.0
+
+
+def test_discover_variant_configs(setup):
+    """The threshold/assigner/LiON variant family compiles and runs."""
+    import dataclasses
+    cfg, mapping, inv, unknown, lab_ds, unlab_ds, val_ds = setup
+    sup_vb, sup_pb, unsup_vb, unsup_pb = _device_batches(lab_ds, unlab_ds)
+    for overrides in (
+        dict(threshold_mode="fixed_prob"),
+        dict(assigner="sinkhorn"),
+        dict(use_lion=True),
+    ):
+        vcfg = dataclasses.replace(cfg, **overrides)
+        state = create_discover_state(jax.random.PRNGKey(2), vcfg)
+        state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, vcfg)
+        assert np.isfinite(float(m["loss"])), overrides
