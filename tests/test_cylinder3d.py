@@ -96,3 +96,40 @@ def test_hard_voxelize():
     assert sorted(num[num > 0].tolist()) == [1, 2]
     # out-of-range point dropped
     assert np.asarray(out["valid"]).sum() == 2
+
+
+def test_cylinder_train_step():
+    from gcdlss_tpu.train.cylinder import (
+        CylinderConfig, create_cylinder_state, cylinder_train_step,
+        cylinder_eval_step,
+    )
+    from gcdlss_tpu.train.common import inv_label_lut
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    cfg = CylinderConfig(
+        num_labeled_classes=14, num_classes=16, unknown_label=14,
+        num_unlabeled_classes=2, grid_shape=(60, 45, 10),
+        caps=(512, 256, 128, 64, 64), base_channels=4, point_cap=256,
+        num_scans=2, steps_per_epoch=1, epochs=2, warmup_epochs=1,
+    )
+    state = create_cylinder_state(jax.random.PRNGKey(0), cfg)
+    s, p = 2, 256
+    r = rng.uniform(3, 45, (s, p))
+    th = rng.uniform(-np.pi, np.pi, (s, p))
+    xyz = np.stack([r * np.cos(th), r * np.sin(th),
+                    rng.uniform(-3.5, 1.5, (s, p))], -1).astype(np.float32)
+    pts = {
+        "xyz": jnp.asarray(xyz),
+        "feats": jnp.asarray(rng.uniform(0, 1, (s, p, 3)).astype(np.float32)),
+        "labels": jnp.asarray(rng.integers(0, 15, (s, p)).astype(np.int32)),
+        "mapped_labels": jnp.asarray(rng.integers(0, 14, (s, p)).astype(np.int32)),
+        "valid": jnp.ones((s, p), bool),
+    }
+    state, m = cylinder_train_step(state, pts, cfg)
+    assert np.isfinite(float(m["loss"]))
+    state, m2 = cylinder_train_step(state, pts, cfg)
+    assert np.isfinite(float(m2["loss"]))
+    lut = jnp.asarray(inv_label_lut({i: i for i in range(14)}, 14))
+    conf = cylinder_eval_step(state, pts, lut, cfg)
+    assert np.asarray(conf).sum() > 0
