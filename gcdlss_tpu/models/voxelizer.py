@@ -12,8 +12,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax.numpy as jnp
-
 from ..ops.scatter import (
     dynamic_voxelize,
     cylindrical_coords,

@@ -23,13 +23,11 @@ via per-axis stride vectors.
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .coords import encode_coords, sorted_unique, lookup_sorted, decode_keys, SENTINEL_HI
+from .coords import encode_coords, sorted_unique, decode_keys, SENTINEL_HI
 from .join import sorted_join
 from .plan import KERNEL_OFFSETS_3
 

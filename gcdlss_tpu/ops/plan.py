@@ -29,10 +29,8 @@ import numpy as np
 
 from .coords import (
     SENTINEL_HI,
-    SENTINEL_LO,
     encode_coords,
     sorted_unique,
-    lookup_sorted,
     decode_keys,
 )
 from .join import sorted_join

@@ -46,7 +46,7 @@ from ..algo.queue import FeatureQueue, queue_init, queue_push, queue_flatten
 from ..eval.metrics import confusion_update
 from ..ops.plan import build_unet_plan
 from ..ops.voxelize import sparse_quantize
-from .common import TrainState, make_sgd, default_caps, inv_label_lut
+from .common import make_sgd
 from .schedule import make_lr_schedule
 from .lasermix import lasermix_batch
 from flax import struct

@@ -12,8 +12,6 @@ These mirror the reference's exported LightningModules (`modules/__init__.py`):
 
 from __future__ import annotations
 
-import itertools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +26,6 @@ from .common import (
 )
 from .discover import (
     DiscoverConfig,
-    DiscoverState,
     create_discover_state,
     discover_train_step,
     discover_eval_step,
@@ -177,12 +174,10 @@ class ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive:
                 # voxel predictions from the teacher
                 import jax.numpy as jnp_
 
-                conf_inc = None  # predictions via eval step internals
                 vb = voxel_batch_to_device(batch["voxel"])
                 from .discover import make_model
                 from ..ops.plan import build_unet_plan
                 from ..models.minkunet import assemble_novel_logits
-                import jax as jax_
 
                 plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps)
                 ok = plan.rep < vb["coords"].shape[0]

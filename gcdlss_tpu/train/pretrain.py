@@ -15,7 +15,7 @@ known classes" behavior.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -25,7 +25,7 @@ import numpy as np
 from ..models.minkunet import MinkUNetSeg
 from ..losses import cross_entropy
 from ..eval.metrics import confusion_update, strict_hungarian_iou
-from .common import TrainState, make_sgd, plan_and_gather, default_caps, inv_label_lut
+from .common import TrainState, make_sgd, plan_and_gather, inv_label_lut
 from .schedule import make_lr_schedule
 
 
