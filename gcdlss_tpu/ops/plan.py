@@ -114,8 +114,19 @@ def build_unet_plan(
     hi, lo = encode_coords(coords, valid)
     (uh, ul), rep, inverse, count = sorted_unique(hi, lo, caps[0])
 
+    # the 27 k=3 offsets are a subset of the 125 k=5 stem offsets, so level 0
+    # gets ONE join (the stem map) and slices its k3 columns out of it
+    k3_in_k5 = np.array(
+        [
+            np.where((KERNEL_OFFSETS_5 == off).all(axis=1))[0][0]
+            for off in KERNEL_OFFSETS_3
+        ],
+        np.int32,
+    )
+
     levels = []
     pools = []
+    stem_nbr = None
     cur_keys = (uh, ul)
     cur_count = count
     for l in range(num_levels):
@@ -123,7 +134,13 @@ def build_unet_plan(
         kh, kl = cur_keys
         lvalid = kh != SENTINEL_HI
         lcoords = jnp.where(lvalid[:, None], decode_keys(kh, kl), 0)
-        nbr3 = build_neighbor_map(lcoords, lvalid, kh, kl, KERNEL_OFFSETS_3)
+        if l == 0 and stem_kernel == 5:
+            stem_nbr = build_neighbor_map(
+                lcoords, lvalid, kh, kl, KERNEL_OFFSETS_5
+            )
+            nbr3 = stem_nbr[:, k3_in_k5]
+        else:
+            nbr3 = build_neighbor_map(lcoords, lvalid, kh, kl, KERNEL_OFFSETS_3)
         levels.append(
             LevelPlan(
                 coords=lcoords,
@@ -147,11 +164,12 @@ def build_unet_plan(
             cur_keys = (nh, nl)
             cur_count = ncount
 
-    lvl0 = levels[0]
-    stem_offsets = KERNEL_OFFSETS_5 if stem_kernel == 5 else _offsets(stem_kernel)
-    stem_nbr = build_neighbor_map(
-        lvl0.coords, lvl0.valid, lvl0.key_hi, lvl0.key_lo, stem_offsets
-    )
+    if stem_nbr is None:
+        lvl0 = levels[0]
+        stem_nbr = build_neighbor_map(
+            lvl0.coords, lvl0.valid, lvl0.key_hi, lvl0.key_lo,
+            _offsets(stem_kernel),
+        )
     return UNetPlan(
         levels=tuple(levels),
         pools=tuple(pools),
