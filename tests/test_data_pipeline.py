@@ -116,3 +116,22 @@ def test_polarmix_dataset(kitti_root):
     assert s.points.shape[0] == s.labels.shape[0] == s.mapped_labels.shape[0]
     assert s.voxel_coords.shape[0] <= s.points.shape[0]
     assert s.mapped_labels.min() >= 0
+
+
+def test_balanced_unknown_labels_golden():
+    """Percentage-balanced split chooser reproduces the reference algorithm
+    (utils/unkn_labels.py:3-24) on the real KITTI class frequencies."""
+    from gcdlss_tpu.data.labels import balanced_unknown_labels
+
+    meta = dataset_meta("SemanticKITTI")
+    splits = [
+        balanced_unknown_labels(s, meta["content"], meta["learning_map"],
+                                meta["learning_map_inv"])
+        for s in range(4)
+    ]
+    # 19 classes -> sizes [5, 5, 5, 4], disjoint, sorted by point mass
+    assert [len(s) for s in splits] == [5, 5, 5, 4]
+    all_ids = sorted(sum(splits, []))
+    assert all_ids == list(range(19))
+    # split 0 holds the most frequent classes (vegetation=14, road=8 lead)
+    assert splits[0][0] == 14 and splits[0][1] == 8
