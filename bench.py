@@ -32,7 +32,7 @@ _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 H100_REFERENCE_SCANS_PER_SEC = 10.0
 
 POINTS_PER_SCAN = 80_000
-BATCH = 4
+BATCH = 1
 VOXEL_SIZE = 0.05
 
 
@@ -78,7 +78,7 @@ def main():
     from gcdlss_tpu.train.common import make_sgd
     from gcdlss_tpu.train.schedule import make_lr_schedule
 
-    cap0 = 276480  # voxel slots for 4 x 80k points at ~83% unique
+    cap0 = 69120  # voxel slots for BATCH x 80k points at ~83% unique
     caps = default_caps(cap0)
     cfg = PretrainConfig(
         num_labeled_classes=17,
