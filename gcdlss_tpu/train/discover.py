@@ -299,9 +299,10 @@ def discover_train_step(
     else:  # fixed_prob
         cand_mask = (probs_t[:, -1] > cfg.fixed_prob_thld) & unsup_mask
     n_cand = jnp.sum(cand_mask.astype(jnp.int32))
+    cand_cap = min(cfg.cand_cap, cap0)  # can't have more candidates than voxels
     order = jnp.argsort(~cand_mask, stable=True)
-    cand_rows = order[: cfg.cand_cap]
-    cand_valid = jnp.arange(cfg.cand_cap) < jnp.minimum(n_cand, cfg.cand_cap)
+    cand_rows = order[:cand_cap]
+    cand_valid = jnp.arange(cand_cap) < jnp.minimum(n_cand, cand_cap)
     cand_feats = feats_t[cand_rows] * cand_valid[:, None]
 
     qfeats, qvalid = queue_flatten(state.queue)
@@ -336,7 +337,7 @@ def discover_train_step(
         fb = jax.lax.stop_gradient(state.params_s["final"]["bias"])
         cluster_logits = cents @ fk + fb
         _, unreliable = jax.lax.top_k(jnp.max(cluster_logits, axis=-1), cfg.alpha)
-        assign = assign_all[: cfg.cand_cap]
+        assign = assign_all[:cand_cap]
         is_unreliable = jnp.any(
             assign[:, None] == unreliable[None, :], axis=1
         )
