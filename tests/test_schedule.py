@@ -24,7 +24,7 @@ def test_warmup_cosine_matches_reference_closed_form():
     for e in range(0, 50):
         ours = float(warmup_cosine_lr(e, base, wu, mx, ws, em))
         ref = _torch_closed_form(e, base, wu, mx, ws, em)
-        assert abs(ours - ref) < 1e-9, e
+        assert abs(ours - ref) < 1e-7, e  # f32 cos
     # epoch 0 starts at warmup_start_lr; warmup end hits base lr
     assert abs(float(warmup_cosine_lr(0, base, wu, mx, ws, em)) - ws) < 1e-12
-    assert abs(float(warmup_cosine_lr(wu, base, wu, mx, ws, em)) - base) < 1e-9
+    assert abs(float(warmup_cosine_lr(wu, base, wu, mx, ws, em)) - base) < 1e-7
