@@ -66,6 +66,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("GCDLSS_BENCH") == "stage2":
+        return stage2_main()
+
     from gcdlss_tpu.ops.voxelize import sparse_quantize
     from gcdlss_tpu.ops.plan import build_unet_plan
     from gcdlss_tpu.train.common import default_caps
@@ -157,6 +160,93 @@ def main():
                 "value": round(scans_per_sec, 3),
                 "unit": "scans/sec/chip (80k pts, voxelize+plan+MinkUNet34 fwd/bwd)",
                 "vs_baseline": round(scans_per_sec / H100_REFERENCE_SCANS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+def stage2_main():
+    """North-star config: the full Stage-2 discovery step at KITTI scale
+    (2 labeled + 2 unlabeled scans). Run with GCDLSS_BENCH=stage2."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcdlss_tpu.train.common import default_caps
+    from gcdlss_tpu.train.discover import (
+        DiscoverConfig, create_discover_state, discover_train_step,
+    )
+
+    P = POINTS_PER_SCAN
+    half = 138240
+    cap0 = half * 2
+    cfg = DiscoverConfig(
+        num_labeled_classes=17, num_unlabeled_classes=2, num_classes=19,
+        unknown_label=17, voxel_caps=default_caps(cap0), sup_voxel_cap=half,
+        mix_voxel_caps=default_caps(276480), num_sup_scans=2, point_cap=P,
+        voxel_size=VOXEL_SIZE, arch="MinkUNet34", dtype="bfloat16",
+        cand_cap=4096, queue_slots=20, queue_per_slot=1024, kmeans_iters=15,
+        steps_per_epoch=1000,
+    )
+    rng = np.random.default_rng(0)
+
+    def mk_side(nsc, vcap):
+        pts = np.concatenate([synth_scan_points(rng, P) for _ in range(nsc)])
+        bidx = np.repeat(np.arange(nsc), P)
+        q = np.floor(pts / VOXEL_SIZE).astype(np.int32)
+        vox_coords = []
+        inv_all = np.full((nsc, P), vcap, np.int32)
+        off = 0
+        for b in range(nsc):
+            qq = q[bidx == b]
+            key = ((qq[:, 0].astype(np.int64) + 8192) << 28) |                   ((qq[:, 1].astype(np.int64) + 8192) << 14) |                   (qq[:, 2].astype(np.int64) + 8192)
+            u, ui, inv = np.unique(key, return_index=True, return_inverse=True)
+            take = min(len(u), vcap - off)
+            vox_coords.append(
+                np.concatenate([np.full((take, 1), b, np.int32), qq[ui[:take]]], 1)
+            )
+            inv_all[b] = np.where(inv < take, off + inv, vcap)
+            off += take
+        vc = np.concatenate(vox_coords)
+        m = len(vc)
+        coords_pad = np.zeros((vcap, 4), np.int32)
+        coords_pad[:m] = vc
+        valid = np.zeros(vcap, bool)
+        valid[:m] = True
+        vb = {
+            "coords": jnp.asarray(coords_pad),
+            "feats": jnp.asarray(rng.uniform(0, 1, (vcap, 1)).astype(np.float32)),
+            "labels": jnp.asarray(np.where(valid, rng.integers(0, 18, vcap), -1).astype(np.int32)),
+            "mapped_labels": jnp.asarray(np.where(valid, rng.integers(0, 18, vcap), -1).astype(np.int32)),
+            "valid": jnp.asarray(valid),
+        }
+        pb = {
+            "xyz": jnp.asarray(pts.reshape(nsc, P, 3)),
+            "feats": jnp.asarray(rng.uniform(0, 1, (nsc, P, 1)).astype(np.float32)),
+            "labels": jnp.asarray(rng.integers(0, 18, (nsc, P)).astype(np.int32)),
+            "mapped_labels": jnp.asarray(rng.integers(0, 18, (nsc, P)).astype(np.int32)),
+            "valid": jnp.ones((nsc, P), bool),
+            "voxel_row": jnp.asarray(inv_all),
+        }
+        return vb, pb
+
+    sup_vb, sup_pb = mk_side(2, half)
+    unsup_vb, unsup_pb = mk_side(2, cap0 - half)
+    state = create_discover_state(jax.random.PRNGKey(0), cfg)
+    state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
+    jax.block_until_ready(m["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "stage2_scans_per_sec_per_chip",
+                "value": round(4 / dt, 3),
+                "unit": "scans/sec/chip (Stage-2 discovery step, 2 sup + 2 unsup x 80k pts)",
+                "vs_baseline": round(4 / dt / H100_REFERENCE_SCANS_PER_SEC, 3),
             }
         )
     )
