@@ -66,7 +66,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    if os.environ.get("GCDLSS_BENCH") == "stage2":
+    if _os.environ.get("GCDLSS_BENCH") == "stage2":
         return stage2_main()
 
     from gcdlss_tpu.ops.voxelize import sparse_quantize

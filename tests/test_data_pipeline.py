@@ -135,3 +135,35 @@ def test_balanced_unknown_labels_golden():
     assert all_ids == list(range(19))
     # split 0 holds the most frequent classes (vegetation=14, road=8 lead)
     assert splits[0][0] == 14 and splits[0][1] == 8
+
+
+def test_real_instance_resize():
+    from gcdlss_tpu.data.augment import real_instance_resize
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    xyz = rng.normal(0, 1, (n, 3)).astype(np.float32) + 10
+    labels = np.full(n, 3, np.int32)  # truck (known)
+    inst = np.zeros(n, np.int32)
+    inst[:400] = 1  # one big instance
+    out_xyz, out_labels = real_instance_resize(
+        np.random.default_rng(1), xyz, labels, inst, unknown_classes=[4, 6]
+    )
+    changed = (out_labels == 100).sum()
+    # instance either resized+relabeled to 100 (p=0.5) or untouched
+    assert changed in (0, 400)
+    if changed:
+        # resized about its centroid: centroid preserved, spread scaled
+        m0, m1 = xyz[:400].mean(0), out_xyz[:400].mean(0)
+        np.testing.assert_allclose(m0, m1, atol=1e-3)
+        s0 = np.abs(xyz[:400] - m0).mean()
+        s1 = np.abs(out_xyz[:400] - m1).mean()
+        ratio = s1 / s0
+        assert 0.2 < ratio < 0.55 or 1.4 < ratio < 3.1
+    # unknown-class instances are never resized
+    labels2 = np.full(n, 4, np.int32)
+    out_xyz2, out_labels2 = real_instance_resize(
+        np.random.default_rng(2), xyz, labels2, inst, unknown_classes=[4, 6]
+    )
+    np.testing.assert_array_equal(out_labels2, labels2)
+    np.testing.assert_array_equal(out_xyz2, xyz)
