@@ -171,6 +171,69 @@ def main(args):
             os.path.join(cfg.checkpoint_dir, cfg.experiment), module.state.params
         )
 
+    elif "FineTuning" in cfg.module:
+        # Stage 1.5: attach + calibrate the NCC head (`modules/exp.py:505-687`)
+        from gcdlss_tpu.train.finetune import (
+            FineTuneConfig, create_finetune_state, finetune_train_step,
+        )
+        from gcdlss_tpu.train.common import voxel_batch_to_device
+
+        fcfg = FineTuneConfig(
+            num_labeled_classes=space["num_labeled_classes"],
+            num_classes=space["num_classes"],
+            unknown_label=space["unknown_label"],
+            voxel_caps=caps,
+            arch=cfg.arch,
+            calib_coeff=0.15 if cfg.dataset == "nuScenes" else 0.05,
+            lr=cfg.finetune_lr,
+            momentum=cfg.momentum_for_optim,
+            weight_decay=cfg.weight_decay_for_optim,
+            use_scheduler=cfg.use_scheduler,
+            warmup_epochs=cfg.warmup_epochs,
+            min_lr=cfg.min_lr,
+            epochs=cfg.epochs,
+            steps_per_epoch=max(1, len(split_idx) // cfg.batch_size),
+        )
+        pretrained = None
+        if cfg.pretrained:
+            from gcdlss_tpu.train.pretrain import PretrainConfig, create_pretrain_state
+
+            tmpl_cfg = PretrainConfig(
+                num_labeled_classes=space["num_labeled_classes"],
+                num_classes=space["num_classes"],
+                unknown_label=space["unknown_label"],
+                voxel_caps=caps, arch=cfg.arch,
+            )
+            tmpl = create_pretrain_state(jax.random.PRNGKey(0), tmpl_cfg)
+            pretrained = load_pretrained(cfg.pretrained, tmpl.params)
+        state = create_finetune_state(jax.random.PRNGKey(SEED), fcfg, pretrained)
+        # 'finetuning' dataset type = REAL-aug labeled scans
+        train_ds = ds_cls(
+            cfg.dataset_path, "train", split_indices=split_idx, labeled=True,
+            voxel_size=cfg.voxel_size, downsampling=cfg.downsampling,
+            augment=True, label_mapping=space["label_mapping"],
+            unknown_labels=space["unknown_labels"], resize_aug=True, seed=SEED,
+        )
+        if cfg.debug:
+            train_ds.num_files = min(train_ds.num_files, 50)
+        mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        for epoch in range(cfg.epochs):
+            loader = PrefetchLoader(train_ds, cfg.batch_size, caps[0],
+                                    num_workers=cfg.num_workers, seed=epoch)
+            losses = []
+            for batch in loader:
+                state, m = finetune_train_step(
+                    state, voxel_batch_to_device(batch["voxel"]), fcfg
+                )
+                losses.append(float(np.asarray(m["loss"])))
+            avg = float(np.mean(losses)) if losses else float("nan")
+            logger.log("train/loss", avg, epoch)
+            print(f"epoch {epoch}: loss={avg:.4f}")
+            mgr.save(epoch, state)
+        save_pretrained(
+            os.path.join(cfg.checkpoint_dir, cfg.experiment), state.params
+        )
+
     elif "MergeDiscover" in cfg.module or "Merge" in cfg.module:
         from gcdlss_tpu.train.discover import DiscoverConfig, make_discover_config
         from gcdlss_tpu.train.modules import (
