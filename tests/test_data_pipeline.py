@@ -167,3 +167,21 @@ def test_real_instance_resize():
     )
     np.testing.assert_array_equal(out_labels2, labels2)
     np.testing.assert_array_equal(out_xyz2, xyz)
+
+
+def test_two_view_ssl_wrapper(kitti_root):
+    from gcdlss_tpu.data.ssl import SSLPrefetchLoader
+
+    unknown, _ = split_table("SemanticKITTI", 1)
+    meta = dataset_meta("SemanticKITTI")
+    mapping, inv, unk = build_label_mapping(unknown, meta["learning_map_inv"].keys())
+    ds = SemanticKITTIDataset(
+        kitti_root, "train", voxel_size=0.1, downsampling=1200, augment=True,
+        label_mapping=mapping, unknown_labels=unknown, seed=4,
+    )
+    loader = SSLPrefetchLoader(ds, batch_size=2, voxel_cap=4096, seed=1)
+    batch = next(iter(loader))
+    a, b = batch["view_a"]["voxel"], batch["view_b"]["voxel"]
+    assert a.coords.shape == b.coords.shape == (4096, 4)
+    # the two views are differently augmented
+    assert not np.array_equal(a.coords, b.coords)
