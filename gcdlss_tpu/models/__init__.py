@@ -6,6 +6,8 @@ from .minkunet import (
     ARCHS,
     PLANE_VARIANTS,
     assemble_dummy_logits,
+    assemble_dummy_logits_mean,
+    assemble_dummy_logits_sum,
     assemble_novel_logits,
 )
 from .heads import Prototypes, CosinePrototypes, ProjectionHead, MultiHead, EquiangularPrototypes
@@ -22,6 +24,8 @@ __all__ = [
     "ARCHS",
     "PLANE_VARIANTS",
     "assemble_dummy_logits",
+    "assemble_dummy_logits_mean",
+    "assemble_dummy_logits_sum",
     "assemble_novel_logits",
     "Prototypes",
     "CosinePrototypes",

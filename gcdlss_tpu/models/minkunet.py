@@ -241,6 +241,20 @@ def assemble_dummy_logits(out: dict) -> jnp.ndarray:
     return jnp.concatenate([out["logits_known"], ncc_max], axis=-1)
 
 
+def assemble_dummy_logits_mean(out: dict) -> jnp.ndarray:
+    """[final | mean(final2)] — RCAblation mean NCC pooling (reference
+    `models/minkunet.py:324-334`, `multiheadminkunet.py:428-431`)."""
+    ncc = jnp.mean(out["logits_ncc"], axis=-1, keepdims=True)
+    return jnp.concatenate([out["logits_known"], ncc], axis=-1)
+
+
+def assemble_dummy_logits_sum(out: dict) -> jnp.ndarray:
+    """[final | sum(final2)] — RCAblation sum NCC pooling (reference
+    `models/minkunet.py:336-346`, `multiheadminkunet.py:432-435`)."""
+    ncc = jnp.sum(out["logits_ncc"], axis=-1, keepdims=True)
+    return jnp.concatenate([out["logits_known"], ncc], axis=-1)
+
+
 def assemble_novel_logits(out: dict) -> jnp.ndarray:
     """[final | final3 | max(final2)] — reference `forward_novel` (minkunet.py:349-362)."""
     ncc_max = jnp.max(out["logits_ncc"], axis=-1, keepdims=True)

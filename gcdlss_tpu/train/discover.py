@@ -300,6 +300,10 @@ def discover_train_step(
         cand_mask = (probs_t[:, -1] > cfg.fixed_prob_thld) & unsup_mask
     n_cand = jnp.sum(cand_mask.astype(jnp.int32))
     cand_cap = min(cfg.cand_cap, cap0)  # can't have more candidates than voxels
+    # Divergence note: the reference clusters ALL candidates; we cluster a
+    # fixed-capacity subset (first cand_cap in plan order) so the step stays
+    # static-shaped. Overflow is surfaced via the `cand_overflow` metric —
+    # raise cfg.cand_cap if it is persistently non-zero.
     order = jnp.argsort(~cand_mask, stable=True)
     cand_rows = order[:cand_cap]
     cand_valid = jnp.arange(cand_cap) < jnp.minimum(n_cand, cand_cap)
@@ -472,6 +476,7 @@ def discover_train_step(
         {
             "tau": tau,
             "n_cand": n_cand,
+            "cand_overflow": jnp.maximum(n_cand - cand_cap, 0),
             "n_rel": n_rel,
             "has_novel": has_novel.astype(jnp.int32),
         }

@@ -57,7 +57,7 @@ def write_ply(filename: str, field_list, field_names):
             header.append(f"property {_NP_TO_PLY[col.dtype]} {name}")
         header.append("end_header\n")
         fh.write(("\n".join(header)).encode("ascii"))
-        rec = np.core.records.fromarrays(
+        rec = np.rec.fromarrays(
             cols, names=",".join(field_names)
         )
         rec.tofile(fh)

@@ -74,6 +74,16 @@ parser.add_argument("--voxel_cap", type=int, default=0)
 def main(args):
     import jax
 
+    # This image's sitecustomize force-registers the axon TPU plugin through
+    # jax.config, silently overriding the JAX_PLATFORMS env var — re-assert it
+    # so `JAX_PLATFORMS=cpu python main.py ...` works (CPU smoke runs).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
     from gcdlss_tpu.config import ExperimentConfig, load_config
     from gcdlss_tpu.data import (
         SemanticKITTIDataset,
@@ -144,9 +154,17 @@ def main(args):
             val_ds.num_files = min(val_ds.num_files, 50)
         mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
         if cfg.test:
-            restored = mgr.restore(module.state)
+            # `--test --checkpoint <dir>` evaluates the restored model (the
+            # reference loads a checkpoint in test mode, `main.py:144-167`);
+            # without --checkpoint, fall back to this experiment's latest.
+            src = CheckpointManager(cfg.checkpoint) if cfg.checkpoint else mgr
+            restored = src.restore(module.state)
             if restored is not None:
                 module.state = restored
+            elif cfg.checkpoint:
+                raise FileNotFoundError(
+                    f"--checkpoint {cfg.checkpoint} has no restorable step"
+                )
             loader = PrefetchLoader(val_ds, cfg.batch_size, caps[0],
                                     point_cap=point_cap, shuffle=False,
                                     num_workers=cfg.num_workers, drop_last=False)
@@ -314,6 +332,21 @@ def main(args):
             unlab_ds.num_files = min(unlab_ds.num_files, 200)
             val_ds.num_files = min(val_ds.num_files, 50)
         if cfg.test:
+            # test mode must evaluate a *restored* model, not the fresh state
+            # (reference `main.py:144-167` always loads a checkpoint for test)
+            src = CheckpointManager(cfg.checkpoint) if cfg.checkpoint else mgr
+            restored = src.restore(module.state)
+            if restored is not None:
+                module.state = restored
+            elif cfg.checkpoint:
+                raise FileNotFoundError(
+                    f"--checkpoint {cfg.checkpoint} has no restorable step"
+                )
+            elif not cfg.resume_checkpoint:
+                print(
+                    "WARNING: --test without --checkpoint and no saved state; "
+                    "evaluating the fresh (untrained) model."
+                )
             print(module.validate(val_ds, cfg.num_workers))
             return
         history = module.fit(

@@ -14,6 +14,18 @@ TPU and tests crawl or hang.
 import os
 import sys
 
+# Persistent XLA compilation cache: the e2e tests are compile-dominated
+# (minutes of XLA time for the jitted Stage-1/2 steps); cache hits make
+# reruns near-instant. Keyed by platform, so sharing the dir with TPU runs
+# is safe.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -11,6 +11,10 @@ from gcdlss_tpu.ops.asym import offset_subset
 from gcdlss_tpu.ops.scatter import dynamic_scatter, cylindrical_coords, scatter_mean
 from gcdlss_tpu.ops.lovasz import lovasz_softmax
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_offset_subsets():
     assert len(offset_subset((1, 3, 3))) == 9

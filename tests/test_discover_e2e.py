@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.e2e
+
 from gcdlss_tpu.data import (
     write_synthetic_kitti,
     SemanticKITTIDataset,

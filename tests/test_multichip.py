@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gcdlss_tpu.parallel.mesh import make_mesh, replicate, shard_voxel_batch
 from gcdlss_tpu.train.pretrain import (
     PretrainConfig,

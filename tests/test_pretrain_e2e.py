@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.e2e
+
 from gcdlss_tpu.data import (
     write_synthetic_kitti,
     SemanticKITTIDataset,
