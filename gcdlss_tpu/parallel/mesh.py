@@ -38,7 +38,12 @@ def shard_voxel_batch(vb: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 
 def shard_point_batch(pb: dict, mesh: Mesh, axis: str = "data") -> dict:
-    s = NamedSharding(mesh, P(axis))
+    """Shard [S, P, ...] point buffers: along the scan axis when it divides
+    the mesh, else along the point axis (scans per step is often < devices)."""
+    n = mesh.devices.size
+    nscans = next(iter(pb.values())).shape[0]
+    spec = P(axis) if nscans % n == 0 else P(None, axis)
+    s = NamedSharding(mesh, spec)
     return {k: jax.device_put(v, s) for k, v in pb.items()}
 
 

@@ -36,6 +36,13 @@ MODULE_REGISTRY: dict = {
     "ExpMergeDiscover_LaserMix_LiON_MeanTeacher": (
         "discover", dict(threshold_mode="fixed_prob", use_lion=True, alpha=3)
     ),
+    # ---- NOPS-style single-model discovery (exp.py:5050, 4452, 4680) ----
+    "ExpDiscover": ("nops", {}),
+    "ExpMixDiscoverJoint": (
+        "nops",
+        dict(joint_logits=True, use_mix_features=True, novel_coeff=0.002),
+    ),
+    "ExpMixDiscoverSwaV": ("nops_swav", {}),
     # ---- Stage 1.5 ----
     "ExpFineTuning": ("finetune", {}),
 }

@@ -252,6 +252,102 @@ def main(args):
             os.path.join(cfg.checkpoint_dir, cfg.experiment), state.params
         )
 
+    elif cfg.module in ("ExpDiscover", "ExpMixDiscoverJoint", "ExpMixDiscoverSwaV"):
+        # NOPS-style single-model discovery loops (`exp.py:5050,4452,4680`)
+        from gcdlss_tpu.train.registry import MODULE_REGISTRY
+        from gcdlss_tpu.train.nops import (
+            NopsConfig, create_nops_state, nops_train_step, swav_train_step,
+        )
+        from gcdlss_tpu.train.common import voxel_batch_to_device
+
+        stage, overrides = MODULE_REGISTRY[cfg.module]
+        half = caps[0] // 2
+        ncfg = NopsConfig(
+            num_labeled_classes=space["num_labeled_classes"],
+            num_unlabeled_classes=space["num_unlabeled_classes"],
+            num_classes=space["num_classes"],
+            unknown_label=space["unknown_label"],
+            voxel_caps=caps,
+            sup_voxel_cap=half,
+            num_sup_scans=max(cfg.batch_size // 2, 1),
+            arch=cfg.arch,
+            lr=cfg.train_lr,
+            momentum=cfg.momentum_for_optim,
+            weight_decay=cfg.weight_decay_for_optim,
+            use_scheduler=cfg.use_scheduler,
+            warmup_epochs=cfg.warmup_epochs,
+            min_lr=cfg.min_lr,
+            epochs=cfg.epochs,
+            steps_per_epoch=max(1, len(split_idx) // max(cfg.batch_size // 2, 1)),
+            **overrides,
+        )
+        pretrained = None
+        if cfg.pretrained:
+            from gcdlss_tpu.train.pretrain import PretrainConfig, create_pretrain_state
+
+            tmpl_cfg = PretrainConfig(
+                num_labeled_classes=space["num_labeled_classes"],
+                num_classes=space["num_classes"],
+                unknown_label=space["unknown_label"],
+                voxel_caps=caps, arch=cfg.arch,
+            )
+            tmpl = create_pretrain_state(jax.random.PRNGKey(0), tmpl_cfg)
+            pretrained = load_pretrained(cfg.pretrained, tmpl.params)
+        state = create_nops_state(jax.random.PRNGKey(SEED), ncfg, pretrained)
+        common = dict(
+            voxel_size=cfg.voxel_size, downsampling=cfg.downsampling,
+            augment=True, label_mapping=space["label_mapping"],
+            unknown_labels=space["unknown_labels"],
+        )
+        # 'finetuning'-type labeled scans (REAL aug) + unlabeled complement
+        lab_ds = ds_cls(cfg.dataset_path, "train", split_indices=split_idx,
+                        labeled=True, resize_aug=(stage == "nops"),
+                        seed=SEED, **common)
+        unlab_ds = ds_cls(cfg.dataset_path, "train", split_indices=split_idx,
+                          labeled=False, seed=SEED + 1, **common)
+        if cfg.debug:
+            lab_ds.num_files = min(lab_ds.num_files, 50)
+            unlab_ds.num_files = min(unlab_ds.num_files, 50)
+        mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        unsup_cap = caps[0] - half
+        nsc = ncfg.num_sup_scans
+        for epoch in range(cfg.epochs):
+            lab_loader = PrefetchLoader(lab_ds, nsc, half,
+                                        num_workers=cfg.num_workers, seed=epoch)
+            unlab_loader = PrefetchLoader(unlab_ds, nsc, unsup_cap,
+                                          num_workers=cfg.num_workers,
+                                          seed=1000 + epoch)
+            losses = []
+            if stage == "nops_swav":
+                lab2 = PrefetchLoader(lab_ds, nsc, half,
+                                      num_workers=cfg.num_workers,
+                                      seed=2000 + epoch)
+                unlab2 = PrefetchLoader(unlab_ds, nsc, unsup_cap,
+                                        num_workers=cfg.num_workers,
+                                        seed=3000 + epoch)
+                for sb, ub, sb2, ub2 in zip(lab_loader, unlab_loader, lab2, unlab2):
+                    state, m = swav_train_step(
+                        state, voxel_batch_to_device(sb["voxel"]),
+                        voxel_batch_to_device(ub["voxel"]),
+                        voxel_batch_to_device(sb2["voxel"]),
+                        voxel_batch_to_device(ub2["voxel"]), ncfg,
+                    )
+                    losses.append(float(np.asarray(m["loss"])))
+            else:
+                for sb, ub in zip(lab_loader, unlab_loader):
+                    state, m = nops_train_step(
+                        state, voxel_batch_to_device(sb["voxel"]),
+                        voxel_batch_to_device(ub["voxel"]), ncfg,
+                    )
+                    losses.append(float(np.asarray(m["loss"])))
+            avg = float(np.mean(losses)) if losses else float("nan")
+            logger.log("train/loss", avg, epoch)
+            print(f"epoch {epoch}: loss={avg:.4f}")
+            mgr.save(epoch, state)
+        save_pretrained(
+            os.path.join(cfg.checkpoint_dir, cfg.experiment), state.params
+        )
+
     elif "MergeDiscover" in cfg.module or "Merge" in cfg.module:
         from gcdlss_tpu.train.discover import DiscoverConfig, make_discover_config
         from gcdlss_tpu.train.modules import (
