@@ -79,6 +79,7 @@ class SemanticKITTIDataset:
         seed: int | None = None,
         sequences=None,
         polarmix: bool = False,
+        percentage: float = 100.0,
         dataset_name: str = "SemanticKITTI",
     ):
         self.meta = dataset_meta(dataset_name)
@@ -115,6 +116,20 @@ class SemanticKITTIDataset:
                 self.label_files += [
                     os.path.join(ldir, n.replace(".bin", ".label")) for n in names
                 ]
+
+        if percentage < 100.0 and split == "train":
+            # toy subsets (`SemanticKITTIGCDToyDataset`,
+            # `dataset_remission.py:1421-1453`): the reference ships pre-built
+            # `..._train.{p}.pkl` scan subsets; we take a deterministic evenly
+            # spaced p% of the scan list instead
+            keep = np.linspace(
+                0, len(self.scan_files) - 1,
+                max(1, int(round(len(self.scan_files) * percentage / 100.0))),
+            ).round().astype(int)
+            keep = np.unique(keep)
+            self.scan_files = [self.scan_files[i] for i in keep]
+            if self.has_labels:
+                self.label_files = [self.label_files[i] for i in keep]
 
         if split_indices is not None:
             all_idx = np.arange(len(self.scan_files))
@@ -243,17 +258,57 @@ class SemanticPOSSDataset(SemanticKITTIDataset):
         super().__init__(root, split, num_train_labels=num_train_labels, **kw)
 
 
-def get_dataset(name: str, dtype: str):
-    """Factory mirroring `dataset_remission_mean_teacher.get_dataset`."""
+# dataset-type presets: keyword defaults applied by the factory, mirroring
+# the reference's per-type dataset classes (which differ only in these flags):
+#   labeled/unlabeled — split-index selection side (`dataset_remission.py:20-25`)
+#   disjoint — labeled side, no extras (`SemanticKITTIRestrictedDisjointDataset`)
+#   gcd/dual — structural duplicates of disjoint in the reference
+#     (`dataset_remission.py:1137`, `dataset.py:888` — their __getitem__ returns
+#     the identical 7-tuple); kept as aliases for API parity
+#   finetuning — REAL-aug instance resize on (`dataset.py:1084`, resize_aug=True)
+#   lasermix — point+voxel two-level output for in-step re-mixing
+#     (`dataset_remission_mean_teacher.py:742-1059`)
+#   polarmix — PolarMix scan pairing (`dataset_remission_mean_teacher.py:1061`)
+_TYPE_PRESETS: dict = {
+    "labeled": dict(labeled=True),
+    "unlabeled": dict(labeled=False),
+    "disjoint": dict(labeled=True),
+    "gcd": dict(labeled=True),
+    "dual": dict(labeled=True),
+    "finetuning": dict(labeled=True, resize_aug=True),
+    "lasermix": dict(output_point_level=True),
+    "polarmix": dict(polarmix=True),
+    "toy": dict(labeled=True),
+}
+
+
+def get_dataset(name: str, dtype: str = "disjoint"):
+    """Factory mirroring `dataset_remission_mean_teacher.get_dataset:19-39`.
+
+    Returns a constructor with the type's keyword presets applied (callers may
+    still override any of them explicitly).
+    """
+    if dtype not in _TYPE_PRESETS:
+        raise NameError(f'Dataset type "{dtype}" is not implemented')
     if name == "SemanticKITTI":
-        return SemanticKITTIDataset
-    if name == "SemanticPOSS":
-        return SemanticPOSSDataset
-    if name == "nuScenes":
+        cls = SemanticKITTIDataset
+    elif name == "SemanticPOSS":
+        cls = SemanticPOSSDataset
+    elif name == "nuScenes":
         from .nuscenes import NuScenesDataset
 
-        return NuScenesDataset
-    raise NameError(f"Dataset {name} not implemented")
+        cls = NuScenesDataset
+    else:
+        raise NameError(f"Dataset {name} not implemented")
+
+    preset = _TYPE_PRESETS[dtype]
+
+    def make(*args, **kw):
+        merged = {**preset, **kw}
+        return cls(*args, **merged)
+
+    make.__name__ = f"{cls.__name__}[{dtype}]"
+    return make
 
 
 def parse_unknown_labels_from_split_file(path: str):

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.conv import gather_conv, down_conv, up_conv, masked_batch_norm_stats
+from ..ops import fused_conv as _fused
 
 
 def _kaiming_conv_init(k: int):
@@ -51,7 +52,10 @@ class SparseConv(nn.Module):
             (self.kernel_volume, ci, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        out = gather_conv(x, nbr, w, b, symmetric_adjoint=True)
+        if _fused.enabled_on() and _fused.supported(x.shape[0]):
+            out = _fused.fused_subm_conv(x, nbr, w, b)
+        else:
+            out = gather_conv(x, nbr, w, b, symmetric_adjoint=True)
         return mask_rows(out, valid)
 
 

@@ -67,18 +67,7 @@ class UNetPlan(NamedTuple):
     inverse: jax.Array  # [n_in] original row -> level-0 row (cap0 if dropped)
 
 
-def build_neighbor_map(
-    coords: jax.Array,
-    valid: jax.Array,
-    key_hi: jax.Array,
-    key_lo: jax.Array,
-    offsets: np.ndarray,
-    max_offsets_per_join: int = 32,
-) -> jax.Array:
-    """[cap, K] neighbor row indices for submanifold conv (center included).
-
-    Large kernels (the 125-offset stem) are processed in offset chunks so each
-    sort-join stays a moderate size (compiler + memory friendliness)."""
+def _join_offsets(coords, valid, key_hi, key_lo, offsets, max_offsets_per_join):
     chunks = []
     for s in range(0, len(offsets), max_offsets_per_join):
         offs = jnp.asarray(offsets[s : s + max_offsets_per_join])  # [k, 3]
@@ -91,6 +80,52 @@ def build_neighbor_map(
         idx = sorted_join(key_hi, key_lo, qh, ql)
         chunks.append(idx.reshape(coords.shape[0], k))
     return jnp.concatenate(chunks, axis=1)
+
+
+def build_neighbor_map(
+    coords: jax.Array,
+    valid: jax.Array,
+    key_hi: jax.Array,
+    key_lo: jax.Array,
+    offsets: np.ndarray,
+    max_offsets_per_join: int = 32,
+    symmetric: bool = True,
+) -> jax.Array:
+    """[cap, K] neighbor row indices for submanifold conv (center included).
+
+    Large kernels (the 125-offset stem) are processed in offset chunks so each
+    sort-join stays a moderate size (compiler + memory friendliness).
+
+    With `symmetric=True` (valid for any negation-symmetric offset list in
+    product order, i.e. offsets[K-1-k] == -offsets[k]), only the first K//2
+    offsets are joined; the center column is the identity and the last K//2
+    columns are the *transposed* maps (nbr[j, K-1-k] = i iff nbr[i, k] = j,
+    an injective scatter) — halving the sort-join work of the plan build.
+    """
+    kk = len(offsets)
+    cap = coords.shape[0]
+    if not (symmetric and kk % 2 == 1 and (offsets + offsets[::-1] == 0).all()):
+        return _join_offsets(coords, valid, key_hi, key_lo, offsets,
+                             max_offsets_per_join)
+    half = kk // 2
+    half_nbr = _join_offsets(
+        coords, valid, key_hi, key_lo, offsets[:half], max_offsets_per_join
+    )  # [cap, half]
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    center = jnp.where(valid, rows, -1).astype(jnp.int32)
+    # transpose block: column K-1-k lands at trans column half-1-k
+    tcol = (half - 1) - jnp.arange(half, dtype=jnp.int32)[None, :]
+    # absent entries get distinct out-of-bounds slots so unique_indices holds
+    oob = cap * half + jnp.arange(cap * half, dtype=jnp.int32).reshape(cap, half)
+    pos = jnp.where(half_nbr >= 0, half_nbr * half + tcol, oob)
+    vals = jnp.broadcast_to(rows[:, None], (cap, half))
+    trans = (
+        jnp.full((cap * half,), -1, jnp.int32)
+        .at[pos.reshape(-1)]
+        .set(vals.reshape(-1), mode="drop", unique_indices=True)
+        .reshape(cap, half)
+    )
+    return jnp.concatenate([half_nbr, center[:, None], trans], axis=1)
 
 
 def build_unet_plan(

@@ -43,8 +43,34 @@ MODULE_REGISTRY: dict = {
         dict(joint_logits=True, use_mix_features=True, novel_coeff=0.002),
     ),
     "ExpMixDiscoverSwaV": ("nops_swav", {}),
-    # ---- Stage 1.5 ----
+    # ---- Stage 1.5 + mixing/scheduling ablation family (exp.py) ----
     "ExpFineTuning": ("finetune", {}),
+    "ExpMixFineTuning": ("finetune", dict(mix_mode="pairs")),
+    "ExpMixRealAugFineTuning": ("finetune", dict(mix_mode="pairs")),  # + resize_aug data
+    "ExpBetaSchedulingFineTuning": (
+        "finetune", dict(mix_mode="centroid", mix_schedule="linear")
+    ),
+    "ExpMixExtraFineTuning": (
+        "finetune_extra",
+        dict(mix_mode="pairs", entropy_minimize=True),
+    ),
+    "ExpMixRealAugExtraFineTuning": (
+        "finetune_extra", dict(mix_mode="pairs", entropy_minimize=True)
+    ),
+    "ExpMixExtraStepSchedulingFineTuning": (
+        "finetune_extra",
+        dict(mix_mode="pairs", entropy_minimize=True, thr_schedule="step"),
+    ),
+    "ExpMixExtraPolySchedulingFineTuning": (
+        "finetune_extra",
+        dict(mix_mode="pairs", entropy_minimize=True, thr_schedule="poly"),
+    ),
+    "ExpMixExtraLinearSchedulingFineTuning": (
+        "finetune_extra",
+        dict(mix_mode="pairs", entropy_minimize=True, thr_schedule="linear"),
+    ),
+    # ---- unlabeled-scan uncertainty ranking (exp.py:2799) ----
+    "ExpUncertaintyCheck": ("uncertainty", {}),
 }
 
 

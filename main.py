@@ -110,7 +110,7 @@ def main(args):
     point_cap = cfg.point_cap or cfg.downsampling
 
     logger = MetricsLogger(cfg.log_dir, cfg.experiment)
-    ds_cls = get_dataset(cfg.dataset, "any")
+    ds_cls = get_dataset(cfg.dataset, "disjoint")
 
     # split indices (regenerated if missing)
     probe = ds_cls(cfg.dataset_path, "train")
@@ -189,13 +189,25 @@ def main(args):
             os.path.join(cfg.checkpoint_dir, cfg.experiment), module.state.params
         )
 
-    elif "FineTuning" in cfg.module:
-        # Stage 1.5: attach + calibrate the NCC head (`modules/exp.py:505-687`)
+    elif "FineTuning" in cfg.module or cfg.module == "ExpUncertaintyCheck":
+        # Stage 1.5 family: NCC-head calibration + mixing/scheduling ablations
+        # (`modules/exp.py:505-687,1306-2798`) and the uncertainty ranking
+        # module (`exp.py:2799-2998`)
         from gcdlss_tpu.train.finetune import (
             FineTuneConfig, create_finetune_state, finetune_train_step,
+            finetune_extra_train_step,
         )
+        from gcdlss_tpu.train.registry import resolve_module
         from gcdlss_tpu.train.common import voxel_batch_to_device
 
+        recipe, overrides = resolve_module(cfg.module)
+        half = caps[0] // 2
+        if recipe == "finetune_extra":
+            overrides = dict(
+                sup_voxel_cap=half,
+                num_sup_scans=max(cfg.batch_size // 2, 1),
+                **overrides,
+            )
         fcfg = FineTuneConfig(
             num_labeled_classes=space["num_labeled_classes"],
             num_classes=space["num_classes"],
@@ -211,6 +223,7 @@ def main(args):
             min_lr=cfg.min_lr,
             epochs=cfg.epochs,
             steps_per_epoch=max(1, len(split_idx) // cfg.batch_size),
+            **overrides,
         )
         pretrained = None
         if cfg.pretrained:
@@ -225,6 +238,33 @@ def main(args):
             tmpl = create_pretrain_state(jax.random.PRNGKey(0), tmpl_cfg)
             pretrained = load_pretrained(cfg.pretrained, tmpl.params)
         state = create_finetune_state(jax.random.PRNGKey(SEED), fcfg, pretrained)
+
+        if recipe == "uncertainty":
+            # rank unlabeled scans by mean prediction entropy and write the
+            # `uncertain_idx` ordering file (`exp.py:2966-2981`)
+            from gcdlss_tpu.train.uncertainty import rank_uncertain_scans
+
+            unlab_ds = ds_cls(
+                cfg.dataset_path, "train", split_indices=split_idx,
+                labeled=False, voxel_size=cfg.voxel_size,
+                downsampling=cfg.downsampling, augment=False,
+                label_mapping=space["label_mapping"],
+                unknown_labels=space["unknown_labels"], seed=SEED,
+            )
+            if cfg.debug:
+                unlab_ds.num_files = min(unlab_ds.num_files, 50)
+            out_file = os.path.join(
+                cfg.checkpoint_dir, f"uncertain_idx_{cfg.experiment}.npy"
+            )
+            os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+            order, scores = rank_uncertain_scans(
+                state.params, state.batch_stats, unlab_ds, fcfg, caps[0],
+                out_file,
+            )
+            print(f"ranked {len(order)} unlabeled scans -> {out_file}; "
+                  f"most uncertain: {order[:10].tolist()}")
+            return
+
         # 'finetuning' dataset type = REAL-aug labeled scans
         train_ds = ds_cls(
             cfg.dataset_path, "train", split_indices=split_idx, labeled=True,
@@ -232,18 +272,44 @@ def main(args):
             augment=True, label_mapping=space["label_mapping"],
             unknown_labels=space["unknown_labels"], resize_aug=True, seed=SEED,
         )
+        unlab_ds = None
+        if recipe == "finetune_extra":
+            unlab_ds = ds_cls(
+                cfg.dataset_path, "train", split_indices=split_idx,
+                labeled=False, voxel_size=cfg.voxel_size,
+                downsampling=cfg.downsampling, augment=True,
+                label_mapping=space["label_mapping"],
+                unknown_labels=space["unknown_labels"], seed=SEED + 1,
+            )
         if cfg.debug:
             train_ds.num_files = min(train_ds.num_files, 50)
+            if unlab_ds is not None:
+                unlab_ds.num_files = min(unlab_ds.num_files, 50)
         mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        nsc = max(cfg.batch_size // 2, 1)
         for epoch in range(cfg.epochs):
-            loader = PrefetchLoader(train_ds, cfg.batch_size, caps[0],
-                                    num_workers=cfg.num_workers, seed=epoch)
             losses = []
-            for batch in loader:
-                state, m = finetune_train_step(
-                    state, voxel_batch_to_device(batch["voxel"]), fcfg
-                )
-                losses.append(float(np.asarray(m["loss"])))
+            if recipe == "finetune_extra":
+                lab_loader = PrefetchLoader(train_ds, nsc, half,
+                                            num_workers=cfg.num_workers,
+                                            seed=epoch)
+                unlab_loader = PrefetchLoader(unlab_ds, nsc, caps[0] - half,
+                                              num_workers=cfg.num_workers,
+                                              seed=1000 + epoch)
+                for sb, ub in zip(lab_loader, unlab_loader):
+                    state, m = finetune_extra_train_step(
+                        state, voxel_batch_to_device(sb["voxel"]),
+                        voxel_batch_to_device(ub["voxel"]), fcfg,
+                    )
+                    losses.append(float(np.asarray(m["loss"])))
+            else:
+                loader = PrefetchLoader(train_ds, cfg.batch_size, caps[0],
+                                        num_workers=cfg.num_workers, seed=epoch)
+                for batch in loader:
+                    state, m = finetune_train_step(
+                        state, voxel_batch_to_device(batch["voxel"]), fcfg
+                    )
+                    losses.append(float(np.asarray(m["loss"])))
             avg = float(np.mean(losses)) if losses else float("nan")
             logger.log("train/loss", avg, epoch)
             print(f"epoch {epoch}: loss={avg:.4f}")

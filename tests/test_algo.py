@@ -95,3 +95,58 @@ def test_online_semi_kmeans_fit_mix():
     # blob gets the extra cluster
     assert u_labels[0] == 0 and u_labels[15] == 1
     assert u_labels[30] == 2
+
+
+def test_dbscan_fallback_matches_sklearn():
+    import numpy as np
+    from gcdlss_tpu.algo.dbscan import _dbscan_np, dbscan, cluster_candidates_density
+
+    rng = np.random.default_rng(0)
+    blobs = np.concatenate([
+        rng.normal([0, 0], 0.05, (40, 2)),
+        rng.normal([2, 2], 0.05, (30, 2)),
+        rng.uniform(-4, 6, (6, 2)),  # sparse noise
+    ])
+    ours = _dbscan_np(blobs, eps=0.3, min_samples=5)
+    ref = dbscan(blobs, eps=0.3, min_samples=5)  # sklearn in this image
+    # same partition up to label permutation
+    for lab in (ours, ref):
+        assert len(set(lab[lab >= 0])) == 2
+    core = ref >= 0
+    np.testing.assert_array_equal(ours >= 0, core)
+    # pairwise co-membership identical
+    co_a = ours[core][:, None] == ours[core][None, :]
+    co_b = ref[core][:, None] == ref[core][None, :]
+    np.testing.assert_array_equal(co_a, co_b)
+
+    feats = np.concatenate([
+        rng.normal([1, 0, 0], 0.01, (50, 3)),
+        rng.normal([0, 1, 0], 0.01, (20, 3)),
+    ])
+    labels, cents, counts = cluster_candidates_density(feats, eps=0.2, min_samples=5)
+    assert cents.shape[0] == 2 and counts[0] >= counts[1]
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-6)
+
+
+def test_dataset_factory_presets(tmp_path):
+    import numpy as np
+    from gcdlss_tpu.data import write_synthetic_kitti
+    from gcdlss_tpu.data.semantic_kitti import get_dataset
+
+    root = str(tmp_path / "kitti")
+    write_synthetic_kitti(root, scans_per_seq=4, num_points=300)
+    mk_lab = get_dataset("SemanticKITTI", "labeled")
+    mk_unl = get_dataset("SemanticKITTI", "unlabeled")
+    idx = np.array([0, 2])
+    ds_l = mk_lab(root, "train", split_indices=idx, downsampling=300)
+    ds_u = mk_unl(root, "train", split_indices=idx, downsampling=300)
+    assert len(ds_l) == 2 and len(ds_u) == 2
+    assert set(ds_l.scan_files).isdisjoint(ds_u.scan_files)
+    ft = get_dataset("SemanticKITTI", "finetuning")(root, "train", downsampling=300)
+    assert ft.resize_aug
+    toy = get_dataset("SemanticKITTI", "toy")(root, "train", percentage=50,
+                                              downsampling=300)
+    assert len(toy) == 2
+    import pytest
+    with pytest.raises(NameError):
+        get_dataset("SemanticKITTI", "nope")

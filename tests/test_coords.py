@@ -100,3 +100,29 @@ def test_sorted_join_matches_binary_search():
     expected = np.asarray(lookup_sorted(uh, ul, qh, ql))
     got = np.asarray(sorted_join(uh, ul, qh, ql))
     np.testing.assert_array_equal(got, expected)
+
+
+def test_symmetric_neighbor_map_matches_full_join():
+    """The transpose-halved rulebook build equals the full per-offset join."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.coords import encode_coords, sorted_unique, decode_keys, SENTINEL_HI
+    from gcdlss_tpu.ops.plan import build_neighbor_map, KERNEL_OFFSETS_3, KERNEL_OFFSETS_5
+
+    rng = np.random.default_rng(7)
+    cap = 512
+    pts = rng.integers(-12, 12, size=(600, 3)).astype(np.int32)
+    b = rng.integers(0, 2, size=(600, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(cap * 0.9)]
+    coords = np.zeros((cap, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((cap,), bool)
+    valid[: len(c)] = True
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inv, cnt = sorted_unique(hi, lo, cap)
+    lvalid = uh != SENTINEL_HI
+    lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
+    for offs in (KERNEL_OFFSETS_3, KERNEL_OFFSETS_5):
+        ref = build_neighbor_map(lcoords, lvalid, uh, ul, offs, symmetric=False)
+        sym = build_neighbor_map(lcoords, lvalid, uh, ul, offs, symmetric=True)
+        np.testing.assert_array_equal(np.asarray(sym), np.asarray(ref))

@@ -1,0 +1,108 @@
+"""Fused windowed gather-GEMM conv (`ops/fused_conv`) vs `gather_conv` oracle.
+
+Runs the Pallas kernel in interpret mode on CPU (same policy as
+`test_pallas_gather.py`); the hardware path shares the traced program.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gcdlss_tpu.ops.conv import gather_conv
+from gcdlss_tpu.ops.plan import build_unet_plan
+from gcdlss_tpu.ops import fused_conv as fc
+
+
+def _sorted_coords(rng, cap, nscans=2, lo=-40, hi=40, vs=0.1, fill=0.9):
+    n = int(cap * fill)
+    pts = rng.uniform(lo, hi, size=(n, 3))
+    c = np.floor(pts / vs).astype(np.int32)
+    b = rng.integers(0, nscans, size=(n, 1)).astype(np.int32)
+    c = np.concatenate([b, c], axis=1)
+    c = np.unique(c, axis=0)  # sorted lexicographically, like the plan's order
+    m = min(len(c), cap)
+    coords = np.zeros((cap, 4), np.int32)
+    coords[:m] = c[:m]
+    valid = np.zeros((cap,), bool)
+    valid[:m] = True
+    return jnp.asarray(coords), jnp.asarray(valid)
+
+
+def _nbr_and_feats(rng, cap, ci, kernel="k3"):
+    coords, valid = _sorted_coords(rng, cap)
+    caps = (cap, max(cap // 4, 256), 256, 256, 256)
+    plan = build_unet_plan(coords, valid, caps)
+    nbr = plan.levels[0].nbr3 if kernel == "k3" else plan.stem_nbr
+    feats = jnp.asarray(
+        rng.standard_normal((cap, ci)).astype(np.float32)
+    ) * valid[:, None]
+    return nbr, feats.astype(jnp.bfloat16), valid
+
+
+@pytest.mark.parametrize("ci,co,kernel", [(16, 32, "k3"), (8, 16, "k5")])
+def test_fused_forward_matches_gather(ci, co, kernel):
+    rng = np.random.default_rng(0)
+    cap = 2048
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci, kernel)
+    k = nbr.shape[1]
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    ref = gather_conv(feats, nbr, w)
+    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def test_fused_far_entries_exact():
+    """Corrupt some rulebook rows to point far outside the window; the COO
+    finish must reproduce the oracle exactly."""
+    rng = np.random.default_rng(1)
+    cap, ci, co = 2048, 16, 16
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci)
+    nbr = np.asarray(nbr).copy()
+    rows = rng.integers(0, cap, size=64)
+    cols = rng.integers(0, nbr.shape[1], size=64)
+    nbr[rows, cols] = rng.integers(0, cap, size=64)  # arbitrary far targets
+    nbr = jnp.asarray(nbr)
+    w = jnp.asarray(rng.standard_normal((nbr.shape[1], ci, co)).astype(np.float32) * 0.1)
+    ref = gather_conv(feats, nbr, w)
+    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def test_fused_grads_match_gather():
+    rng = np.random.default_rng(2)
+    cap, ci, co = 2048, 16, 16
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci)
+    k = nbr.shape[1]
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.standard_normal((cap, co)).astype(np.float32))
+
+    def loss_ref(f, ww):
+        return jnp.sum(gather_conv(f, nbr, ww, symmetric_adjoint=True).astype(jnp.float32) * cot)
+
+    def loss_fused(f, ww):
+        return jnp.sum(fc.fused_subm_conv(f, nbr, ww, interpret=True).astype(jnp.float32) * cot)
+
+    gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gf, gw = jax.grad(loss_fused, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(
+        np.asarray(gf, np.float32), np.asarray(gf_ref, np.float32),
+        rtol=0.1, atol=0.1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw, np.float32), np.asarray(gw_ref, np.float32),
+        rtol=0.1, atol=0.1,
+    )
+
+
+def test_supported_predicate():
+    assert not fc.supported(fc.WINDOW - fc.BLOCK)
+    assert not fc.supported(fc.WINDOW + 1)
+    assert fc.supported(fc.WINDOW)
+    assert fc.supported(4 * fc.WINDOW)
