@@ -33,7 +33,7 @@ _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 H100_REFERENCE_SCANS_PER_SEC = 10.0
 
 POINTS_PER_SCAN = 80_000
-BATCH = 1
+BATCH = int(_os.environ.get("GCDLSS_BENCH_BATCH", "1"))
 VOXEL_SIZE = 0.05
 
 
@@ -67,6 +67,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gcdlss_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     # Stage-2 (the north-star metric) is the headline; stage1 opt-in.
     if _os.environ.get("GCDLSS_BENCH", "stage2") != "stage1":
         return stage2_main()
@@ -83,7 +86,7 @@ def main():
     from gcdlss_tpu.train.common import make_sgd
     from gcdlss_tpu.train.schedule import make_lr_schedule
 
-    cap0 = 69120  # voxel slots for BATCH x 80k points at ~83% unique
+    cap0 = 69120 * BATCH  # voxel slots for BATCH x 80k points at ~83% unique
     caps = default_caps(cap0)
     cfg = PretrainConfig(
         num_labeled_classes=17,
@@ -151,7 +154,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step(state, jp, jb, jl)
-    jax.block_until_ready(loss)
+    # NB: jax.block_until_ready does NOT synchronize through this rig's
+    # remote-TPU tunnel; a host fetch of the (state-dependent) loss does.
+    _ = float(loss)
     dt = (time.perf_counter() - t0) / iters
 
     scans_per_sec = BATCH / dt

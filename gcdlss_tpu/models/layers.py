@@ -52,7 +52,7 @@ class SparseConv(nn.Module):
             (self.kernel_volume, ci, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        if _fused.enabled_on() and _fused.supported(x.shape[0]):
+        if _fused.enabled_on() and _fused.supported(x.shape[0], ci, nbr.shape[1]):
             out = _fused.fused_subm_conv(x, nbr, w, b)
         else:
             out = gather_conv(x, nbr, w, b, symmetric_adjoint=True)

@@ -1,31 +1,35 @@
 """Fused windowed gather-GEMM submanifold sparse conv (Pallas TPU kernel).
 
 Replaces the XLA row-gather conv path (`ops/conv.gather_conv`) for large
-levels. The XLA path streams ~K x N x C bytes of random row-gathers per conv
-(~22 GB/s effective on v5e — the round-1 bottleneck at ~1% MXU). This kernel
-exploits two facts about the plan's rulebooks:
+levels. The XLA path materializes K x N x C bytes of random row-gathers per
+conv — the round-1 bottleneck at ~1% MXU. This kernel exploits two facts
+about the plan's rulebooks:
 
   1. Voxels are sorted by (batch, x, y, z), so each kernel offset's neighbor
      map is monotone with slope ~1: within a B-row output block, offset k's
-     neighbors span ~B + jitter rows (measured p99.9 jitter < 100 on
-     KITTI-density scans). One DMA stages a shared W-row window in VMEM and
-     each offset addresses a WK-row sub-window of it.
-  2. Mosaic's `tpu.dynamic_gather` supports in-register *lane* gathers
-     ([S, 128] blocks, int32). Features are staged transposed ([C, N]) and
-     bitcast to int32 (two bf16 channels per sublane), so a row gather
-     becomes per-128-lane-tile dynamic gathers + selects at VPU rate —
-     no one-hot matmuls, no per-row DMAs.
+     neighbors span a small window of rows. One double-buffered DMA stages a
+     shared W-row window in VMEM and each offset addresses a WK-row
+     sub-window of it.
+  2. Mosaic supports in-register *lane* gathers on int32 ([S, 128] blocks).
+     Features are staged transposed ([C, N]) and bitcast to int32 (two bf16
+     channels per lane word), so a row gather becomes per-128-lane-tile
+     dynamic gathers + selects at VPU rate.
 
 Per output block: gathered features for all K offsets are stacked into one
 [K*C, B] operand and contracted against the [K*C, Co] flattened weights in a
 single MXU dot. Rulebook entries falling outside the window ("far" — rare by
-construction, zero on measured LiDAR data at the default W/WK) are finished
-exactly by a fixed-capacity COO pass in XLA.
+construction on sorted LiDAR data) are finished exactly by a fixed-capacity
+COO pass in XLA.
 
 Backward (custom VJP) uses the offset-reversed rulebook (negation-symmetric
 offset lists: column K-1-k is the adjoint map of column k): one kernel pass
-gathers g_out windows and yields BOTH dX (gstack @ W^T) and dW
-(x^T @ gstack), chunked over Ci so the f32 dW accumulator fits VMEM.
+gathers g_out windows and yields BOTH dX (gstack contracted with W) and dW
+(x contracted with gstack), with the dW accumulator block revisited across
+the sequential grid.
+
+Measured on TPU v5e (tools/kernel_bisect_bench.py, tunnel-safe timing,
+262k voxels, C=96, 13% fill): window DMA is the dominant cost; the offset
+loop is lowered as a fori_loop to keep Mosaic compile times sane.
 
 Reference parity target: MinkowskiEngine gather-GEMM-scatter
 (`/root/reference/models/minkunet.py:62-132`).
@@ -53,9 +57,9 @@ except Exception:  # pragma: no cover
 # per-offset spans at B=256 are p99.9 < 330; WK=512 with 128-aligned
 # sub-starts covers them; W=2048 covers the whole-block span (p99 ~1130,
 # max ~1170 incl. batch boundaries).
-BLOCK = 256
-WINDOW = 2048
-SUBWIN = 512
+BLOCK = int(os.environ.get("GCDLSS_FUSED_BLOCK", 256))
+WINDOW = int(os.environ.get("GCDLSS_FUSED_WINDOW", 2048))
+SUBWIN = int(os.environ.get("GCDLSS_FUSED_SUBWIN", 512))
 FAR_CAP = 4096
 
 _ENABLED = os.environ.get("GCDLSS_FUSED_CONV", "1") != "0"
@@ -73,24 +77,46 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _cpad_for(ci: int) -> int:
+    # xwin is [cpad//2, W] int32 (VMEM tile (8, 128)): cpad//2 must be a
+    # multiple of 8, i.e. cpad a multiple of 16; 32 keeps the bitcast-paired
+    # gst rows MXU-friendly without padding 32/64/96-channel convs to 128.
+    return max(32, _round_up(ci, 32))
+
+
 # --------------------------------------------------------------------------
 # window planning (pure XLA; identical subgraphs across convs of one level
 # are CSE'd by XLA within the jitted step)
 # --------------------------------------------------------------------------
 
 
-def plan_windows(nbr: jax.Array, block: int = BLOCK, window: int = WINDOW,
-                 subwin: int = SUBWIN, far_cap: int = FAR_CAP):
+def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
+                 subwin: int = None, far_cap: int = FAR_CAP):
     """Window/sub-window starts + window-relative rulebook for the kernel.
 
-    Returns (ws [NB], ss [NB, K], relT [NB, K, B], far (out, in, k) COO with
-    -1 padding, far_count).
+    Returns (ws [NB], ss [NB, K8], relT [NB*K8, B], far (out, in, k) COO
+    with -1 padding, far_count).
+
+    Layout note: every elementwise/reduce op here runs on a [k8-sublane,
+    N-lane] transposed view. The naive [N, 27] formulation keeps a 27-wide
+    minor dimension — lane-padded 4.75x by XLA — and measured 70 ms on v5e
+    for one call (tools/fused_isolate_bench.py); one up-front relayout into
+    [nb, k8, block] makes the rest full-lane work.
     """
+    block = block or BLOCK
+    window = window or WINDOW
+    subwin = subwin or SUBWIN
     n, k = nbr.shape
     nb = n // block
-    big = jnp.where(nbr >= 0, nbr, jnp.int32(1 << 30)).reshape(nb, block, k)
-    mins = jnp.min(big, axis=1)  # [NB, K]
-    anymin = jnp.min(mins, axis=1)
+    k8 = _round_up(k, 8)
+    # one relayout: [N, k] -> [nb, k8, block] (pad offsets with -1)
+    nbrT = jnp.full((n, k8), -1, jnp.int32)
+    nbrT = jax.lax.dynamic_update_slice(nbrT, nbr, (0, 0))
+    nbrT = nbrT.reshape(nb, block, k8).transpose(0, 2, 1)  # [nb, k8, block]
+
+    big = jnp.where(nbrT >= 0, nbrT, jnp.int32(1 << 30))
+    mins = jnp.min(big, axis=2)  # [nb, k8]
+    anymin = jnp.min(mins, axis=1)  # [nb]
     ws = jnp.clip(
         jnp.where(anymin >= (1 << 30), jnp.arange(nb, dtype=jnp.int32) * block,
                   anymin),
@@ -99,28 +125,25 @@ def plan_windows(nbr: jax.Array, block: int = BLOCK, window: int = WINDOW,
     ss = (
         jnp.clip(jnp.where(mins >= (1 << 30), 0, mins - ws[:, None]),
                  0, window - subwin).astype(jnp.int32) & ~jnp.int32(127)
-    )
-    blk = jnp.arange(n, dtype=jnp.int32) // block
-    rel = nbr - (ws[blk][:, None] + ss[blk, :])
-    near = (nbr >= 0) & (rel >= 0) & (rel < subwin)
-    rel = jnp.where(near, rel, -1).astype(jnp.int32)
-    # [NB*K8, B]: per block, K sublane rows (padded to a multiple of 8) of
-    # B lane-wise rel indices
-    k8 = _round_up(k, 8)
-    relT = rel.reshape(nb, block, k).transpose(0, 2, 1)
-    relT = jnp.concatenate(
-        [relT, jnp.full((nb, k8 - k, block), -1, jnp.int32)], axis=1
-    ).reshape(nb * k8, block) if k8 != k else relT.reshape(nb * k, block)
+    )  # [nb, k8]
+    rel = nbrT - (ws[:, None, None] + ss[:, :, None])
+    near = (nbrT >= 0) & (rel >= 0) & (rel < subwin)
+    relT = jnp.where(near, rel, -1).astype(jnp.int32).reshape(nb * k8, block)
 
-    far_mask = (nbr >= 0) & ~near
+    far_mask = (nbrT >= 0) & ~near  # [nb, k8, block]
     far_count = jnp.sum(far_mask.astype(jnp.int32))
     (flat_idx,) = jnp.nonzero(far_mask.reshape(-1), size=far_cap,
                               fill_value=-1)
-    far_out = jnp.where(flat_idx >= 0, flat_idx // k, -1).astype(jnp.int32)
-    far_k = jnp.where(flat_idx >= 0, flat_idx % k, 0).astype(jnp.int32)
+    # flat index decodes as ((b*k8 + kk)*block + col)
+    col = flat_idx % block
+    bk = flat_idx // block
+    far_k = jnp.where(flat_idx >= 0, bk % k8, 0).astype(jnp.int32)
+    far_out = jnp.where(
+        flat_idx >= 0, (bk // k8) * block + col, -1
+    ).astype(jnp.int32)
     safe_flat = jnp.where(flat_idx >= 0, flat_idx, 0)
     far_in = jnp.where(
-        flat_idx >= 0, nbr.reshape(-1)[safe_flat], -1
+        flat_idx >= 0, nbrT.reshape(-1)[safe_flat], -1
     ).astype(jnp.int32)
     return ws, ss, relT, (far_out, far_in, far_k), far_count
 
@@ -154,39 +177,75 @@ def far_contribution(feats: jax.Array, far, weight: jax.Array,
 # --------------------------------------------------------------------------
 
 
-def _gather_stack(xwin_ref, ss_val, rel2, gst, k_idx, *, B, WK, C2):
-    """Gather offset k's rows from the i32 window ref into gst rows.
+def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
+    """Per kernel offset: lane-gather its rows from its sub-window of `win`
+    into gst rows [k*C2:(k+1)*C2].
 
-    rel2: [1, B] window-relative indices (lane layout), -1 where absent.
-    Sublane broadcast via pltpu.repeat (jnp broadcasts of row slices hit
-    Mosaic "Invalid input layout")."""
-    base = pl.multiple_of(ss_val, 128)
-    relb = pltpu.repeat(rel2, C2, axis=0)  # [C2, B]
-    div = relb >> 7
-    mod = relb & 127
-    for c in range(B // 128):
-        dv = div[:, c * 128:(c + 1) * 128]
-        idx = mod[:, c * 128:(c + 1) * 128]
-        acc = jnp.zeros((C2, 128), jnp.int32)
-        for t in range(WK // 128):
-            tile = xwin_ref[:, pl.ds(pl.multiple_of(base + t * 128, 128), 128)]
-            part = jnp.take_along_axis(tile, idx, axis=1)
-            acc = jnp.where(dv == t, part, acc)
-        gst[k_idx * C2:(k_idx + 1) * C2, c * 128:(c + 1) * 128] = acc
-
-
-def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref, xwin, gst, sem,
-                *, B, W, WK, K, Cpad, Co):
-    i = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        xT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[i], 128), W)], xwin, sem
-    )
-    cp.start()
-    cp.wait()
-    C2 = Cpad // 2
+    The offset loop is python-UNROLLED on purpose: a fori_loop variant (all
+    rel/ss/gst accesses dynamically indexed by k) measured 77.8 ms vs 8.7 ms
+    unrolled on v5e (tools/fori_diag_bench.py) — Mosaic lowers the dynamic
+    sublane indexing badly. Unrolling costs one slow Mosaic compile per conv
+    shape (minutes through this rig's remote-compile tunnel, then cached by
+    the persistent compilation cache)."""
     for k in range(K):
-        _gather_stack(xwin, ss_ref[i, k], rel_ref[k:k + 1, :], gst, k,
-                      B=B, WK=WK, C2=C2)
+        rel2 = rel_ref[k:k + 1, :]  # [1, B]
+        base = pl.multiple_of(ss_ref[i, k], 128)
+        relb = pltpu.repeat(rel2, C2, axis=0)  # [C2, B]
+        div = relb >> 7
+        mod = relb & 127
+        for cch in range(B // 128):
+            dv = div[:, cch * 128:(cch + 1) * 128]
+            idx = mod[:, cch * 128:(cch + 1) * 128]
+            acc = jnp.zeros((C2, 128), jnp.int32)
+            for t in range(WK // 128):
+                tile = win[:, pl.ds(pl.multiple_of(base + t * 128, 128), 128)]
+                part = jnp.take_along_axis(tile, idx, axis=1)
+                acc = jnp.where(dv == t, part, acc)
+            gst[k * C2:(k + 1) * C2, cch * 128:(cch + 1) * 128] = acc
+
+
+def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
+                win_a, win_b, gst, sem, *, B, W, WK, K, Cpad, Co):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    C2 = Cpad // 2
+
+    def start(buf, j, s):
+        pltpu.make_async_copy(
+            xT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[j], 128), W)], buf,
+            sem.at[s]).start()
+
+    def wait(buf, j, s):
+        pltpu.make_async_copy(
+            xT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[j], 128), W)], buf,
+            sem.at[s]).wait()
+
+    even = jax.lax.rem(i, 2) == 0
+
+    @pl.when(i == 0)
+    def _():
+        start(win_a, 0, 0)
+
+    @pl.when((i + 1 < nb) & even)
+    def _():
+        start(win_b, i + 1, 1)
+
+    @pl.when((i + 1 < nb) & ~even)
+    def _():
+        start(win_a, i + 1, 0)
+
+    @pl.when(even)
+    def _():
+        wait(win_a, i, 0)
+        _gather_all_offsets(i, win_a, ss_ref, rel_ref, gst,
+                            B=B, WK=WK, K=K, C2=C2)
+
+    @pl.when(~even)
+    def _():
+        wait(win_b, i, 1)
+        _gather_all_offsets(i, win_b, ss_ref, rel_ref, gst,
+                            B=B, WK=WK, K=K, C2=C2)
+
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Cpad, B]
     o_ref[:] = jax.lax.dot_general(
         g, w_ref[:], (((0,), (0,)), ((), ())),
@@ -195,19 +254,49 @@ def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref, xwin, gst, sem,
 
 
 def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
-                dx_ref, dw_ref, gwin, gst, sem,
+                dx_ref, dw_ref, win_a, win_b, gst, sem,
                 *, B, W, WK, K, Copad, CiChunk):
     ci_c = pl.program_id(0)
     i = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        goT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[i], 128), W)], gwin, sem
-    )
-    cp.start()
-    cp.wait()
+    nb = pl.num_programs(1)
     C2 = Copad // 2
-    for k in range(K):
-        _gather_stack(gwin, ss_ref[i, k], rel_ref[k:k + 1, :], gst, k,
-                      B=B, WK=WK, C2=C2)
+
+    def start(buf, j, s):
+        pltpu.make_async_copy(
+            goT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[j], 128), W)], buf,
+            sem.at[s]).start()
+
+    def wait(buf, j, s):
+        pltpu.make_async_copy(
+            goT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[j], 128), W)], buf,
+            sem.at[s]).wait()
+
+    even = jax.lax.rem(i, 2) == 0
+
+    @pl.when(i == 0)
+    def _():
+        start(win_a, 0, 0)
+
+    @pl.when((i + 1 < nb) & even)
+    def _():
+        start(win_b, i + 1, 1)
+
+    @pl.when((i + 1 < nb) & ~even)
+    def _():
+        start(win_a, i + 1, 0)
+
+    @pl.when(even)
+    def _():
+        wait(win_a, i, 0)
+        _gather_all_offsets(i, win_a, ss_ref, rel_ref, gst,
+                            B=B, WK=WK, K=K, C2=C2)
+
+    @pl.when(~even)
+    def _():
+        wait(win_b, i, 1)
+        _gather_all_offsets(i, win_b, ss_ref, rel_ref, gst,
+                            B=B, WK=WK, K=K, C2=C2)
+
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Copad, B]
     # dX chunk [B, CiChunk] = g^T @ wmat_chunk
     dx_ref[:] = jax.lax.dot_general(
@@ -255,7 +344,7 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, B, W, WK, interpret=False):
     cpad, n = 2 * xT.shape[0], xT.shape[1]
     nbk, _ = relT.shape
     co = wflat.shape[1]
-    k = ss.shape[1]
+    k = wflat.shape[0] // cpad  # ss is [nb, k8]; k comes from the weights
     k8 = _round_up(k, 8)
     nb = nbk // k8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -269,8 +358,9 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, B, W, WK, interpret=False):
         out_specs=pl.BlockSpec((B, co), lambda i, ws, ss: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((cpad // 2, W), jnp.int32),
+            pltpu.VMEM((cpad // 2, W), jnp.int32),
             pltpu.VMEM((k * cpad // 2, B), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -287,7 +377,7 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, B, W, WK,
     """Returns (dX [N, Cpad] f32, dW_flat [Cpad, K*Copad] f32)."""
     copad, n = 2 * goT.shape[0], goT.shape[1]
     cpad = 2 * xT.shape[0]
-    k = ss.shape[1]
+    k = wmat.shape[0] // copad  # ss is [nb, k8]; k comes from the weights
     k8 = _round_up(k, 8)
     nb = relT_rev.shape[0] // k8
     ci_chunk = min(cpad, 128)
@@ -307,8 +397,9 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, B, W, WK,
         ),
         scratch_shapes=[
             pltpu.VMEM((copad // 2, W), jnp.int32),
+            pltpu.VMEM((copad // 2, W), jnp.int32),
             pltpu.VMEM((k * copad // 2, B), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -335,7 +426,7 @@ def _fused_core(feats, nbr, weight, interpret):
 def _fused_core_fwd(feats, nbr, weight, interpret):
     n, ci = feats.shape
     k, _, co = weight.shape
-    cpad = _round_up(max(ci, 16), 16 if ci <= 16 else 128)
+    cpad = _cpad_for(ci)
     ws, ss, relT, far, _ = plan_windows(nbr)
     xT = _pad_T(feats, cpad)
     wflat = jnp.zeros((k, cpad, co), jnp.bfloat16)
@@ -359,7 +450,7 @@ def _fused_core_bwd(interpret, res, g_out):
     n, ci = feats.shape
     k, _, co = weight.shape
     cpad = 2 * xT.shape[0]  # xT is channel-pair-packed int32 [cpad//2, N]
-    copad = _round_up(max(co, 16), 16 if co <= 16 else 128)
+    copad = _cpad_for(co)
     g_out = g_out.astype(jnp.float32)
     goT = _pad_T(g_out, copad)
     nbr_rev = nbr[:, ::-1]
@@ -417,5 +508,17 @@ def fused_subm_conv(
     return out.astype(feats.dtype)
 
 
-def supported(n_rows: int) -> bool:
-    return n_rows % BLOCK == 0 and n_rows >= WINDOW
+def supported(n_rows: int, ci: int | None = None,
+              kernel_volume: int | None = None) -> bool:
+    """Shape gate: the kernel needs whole blocks and at least one window.
+
+    Small-channel convs (the ci=1 stem) stay on the XLA path — their gathers
+    are cheap relative to the kernel's fixed per-block costs. Large kernels
+    (the 125-offset k5 stem) are excluded: the unrolled offset loop would
+    make Mosaic compiles pathological."""
+    ok = n_rows % BLOCK == 0 and n_rows >= WINDOW
+    if ci is not None:
+        ok = ok and ci >= 32
+    if kernel_volume is not None:
+        ok = ok and kernel_volume <= 32
+    return ok

@@ -74,6 +74,9 @@ parser.add_argument("--voxel_cap", type=int, default=0)
 def main(args):
     import jax
 
+    from gcdlss_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     # This image's sitecustomize force-registers the axon TPU plugin through
     # jax.config, silently overriding the JAX_PLATFORMS env var — re-assert it
     # so `JAX_PLATFORMS=cpu python main.py ...` works (CPU smoke runs).

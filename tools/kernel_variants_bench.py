@@ -19,6 +19,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+from gcdlss_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
