@@ -178,6 +178,7 @@ def far_contribution(feats: jax.Array, far, weight: jax.Array,
 
 
 def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
+    K8 = _round_up(K, 8)
     """Per kernel offset: lane-gather its rows from its sub-window of `win`
     into gst rows [k*C2:(k+1)*C2].
 
@@ -202,6 +203,10 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
                 part = jnp.take_along_axis(tile, idx, axis=1)
                 acc = jnp.where(dv == t, part, acc)
             gst[k * C2:(k + 1) * C2, cch * 128:(cch + 1) * 128] = acc
+    if K8 > K:
+        # zero the k8-padding rows: they are uninitialized scratch and feed
+        # the big dot against (zero) padded weight rows — 0 * NaN = NaN
+        gst[K * C2:K8 * C2, :] = jnp.zeros(((K8 - K) * C2, B), jnp.int32)
 
 
 def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
@@ -254,12 +259,13 @@ def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
 
 
 def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
-                dx_ref, dw_ref, win_a, win_b, gst, sem,
+                dx_ref, dw_hbm, win_a, win_b, gst, dw_acc, sem,
                 *, B, W, WK, K, Copad, CiChunk):
     ci_c = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
     C2 = Copad // 2
+    dbuf = win_b is not None
 
     def start(buf, j, s):
         pltpu.make_async_copy(
@@ -271,31 +277,38 @@ def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
             goT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[j], 128), W)], buf,
             sem.at[s]).wait()
 
-    even = jax.lax.rem(i, 2) == 0
-
-    @pl.when(i == 0)
-    def _():
-        start(win_a, 0, 0)
-
-    @pl.when((i + 1 < nb) & even)
-    def _():
-        start(win_b, i + 1, 1)
-
-    @pl.when((i + 1 < nb) & ~even)
-    def _():
-        start(win_a, i + 1, 0)
-
-    @pl.when(even)
-    def _():
+    if not dbuf:
+        # single-buffered: large-channel convs trade DMA overlap for VMEM
+        start(win_a, i, 0)
         wait(win_a, i, 0)
         _gather_all_offsets(i, win_a, ss_ref, rel_ref, gst,
                             B=B, WK=WK, K=K, C2=C2)
+    else:
+        even = jax.lax.rem(i, 2) == 0
 
-    @pl.when(~even)
-    def _():
-        wait(win_b, i, 1)
-        _gather_all_offsets(i, win_b, ss_ref, rel_ref, gst,
-                            B=B, WK=WK, K=K, C2=C2)
+        @pl.when(i == 0)
+        def _():
+            start(win_a, 0, 0)
+
+        @pl.when((i + 1 < nb) & even)
+        def _():
+            start(win_b, i + 1, 1)
+
+        @pl.when((i + 1 < nb) & ~even)
+        def _():
+            start(win_a, i + 1, 0)
+
+        @pl.when(even)
+        def _():
+            wait(win_a, i, 0)
+            _gather_all_offsets(i, win_a, ss_ref, rel_ref, gst,
+                                B=B, WK=WK, K=K, C2=C2)
+
+        @pl.when(~even)
+        def _():
+            wait(win_b, i, 1)
+            _gather_all_offsets(i, win_b, ss_ref, rel_ref, gst,
+                                B=B, WK=WK, K=K, C2=C2)
 
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Copad, B]
     # dX chunk [B, CiChunk] = g^T @ wmat_chunk
@@ -304,6 +317,9 @@ def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
         preferred_element_type=jnp.float32,
     )
     # dW chunk [CiChunk, K*Copad] += xT_chunk @ g^T   (contract lanes = rows)
+    # accumulated in a VMEM scratch, written to HBM once at the last block:
+    # a VMEM *output* block here gets double-buffered by the pipeliner and
+    # blows the 16 MB scoped-VMEM limit for 256-channel convs
     x_chunk = pltpu.bitcast(xT_ref[:], jnp.bfloat16)  # [CiChunk, B]
     contrib = jax.lax.dot_general(
         x_chunk, g, (((1,), (1,)), ((), ())),
@@ -312,11 +328,19 @@ def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
 
     @pl.when(i == 0)
     def _():
-        dw_ref[:] = contrib
+        dw_acc[:] = contrib
 
     @pl.when(i > 0)
     def _():
-        dw_ref[:] = dw_ref[:] + contrib
+        dw_acc[:] = dw_acc[:] + contrib
+
+    @pl.when(i == nb - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            dw_acc, dw_hbm.at[pl.ds(ci_c * CiChunk, CiChunk), :],
+            sem.at[2])
+        cp.start()
+        cp.wait()
 
 
 # --------------------------------------------------------------------------
@@ -339,12 +363,14 @@ def _pad_T(x: jax.Array, cpad: int) -> jax.Array:
     return xi.T
 
 
-@functools.partial(jax.jit, static_argnames=("B", "W", "WK", "interpret"))
-def _fused_fwd_core(xT, ws, ss, relT, wflat, *, B, W, WK, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "B", "W", "WK", "interpret"))
+def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, interpret=False):
+    """wflat is k8-padded: [k8*cpad, co] with zero rows for offsets >= k, so
+    stale gst rows beyond the real offsets contribute nothing to the dot."""
     cpad, n = 2 * xT.shape[0], xT.shape[1]
     nbk, _ = relT.shape
     co = wflat.shape[1]
-    k = wflat.shape[0] // cpad  # ss is [nb, k8]; k comes from the weights
     k8 = _round_up(k, 8)
     nb = nbk // k8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -359,7 +385,7 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, B, W, WK, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((cpad // 2, W), jnp.int32),
             pltpu.VMEM((cpad // 2, W), jnp.int32),
-            pltpu.VMEM((k * cpad // 2, B), jnp.int32),
+            pltpu.VMEM((k8 * cpad // 2, B), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -371,44 +397,70 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, B, W, WK, interpret=False):
     )(ws, ss, xT, relT, wflat)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "W", "WK", "interpret"))
-def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, B, W, WK,
+@functools.partial(jax.jit,
+                   static_argnames=("k", "B", "W", "WK", "interpret"))
+def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
                     interpret=False):
-    """Returns (dX [N, Cpad] f32, dW_flat [Cpad, K*Copad] f32)."""
+    """Returns (dX [N, Cpad] f32, dW_flat [Cpad, K8*Copad] f32).
+
+    wmat is k8-padded ([k8*copad, cpad], zero rows beyond the real offsets)
+    and dw's lane dim is k8*copad — a multiple of 128, which the final
+    VMEM->HBM dw DMA requires; the caller slices the real [k, ci, co] out."""
     copad, n = 2 * goT.shape[0], goT.shape[1]
     cpad = 2 * xT.shape[0]
-    k = wmat.shape[0] // copad  # ss is [nb, k8]; k comes from the weights
     k8 = _round_up(k, 8)
     nb = relT_rev.shape[0] // k8
+
+    # ci_chunk sized to a ~13 MB VMEM budget: the dw output block
+    # [ci_chunk, k*copad] f32 dominates at large channel counts (256-ch
+    # convs OOM'd the 16 MB scoped vmem at ci_chunk=128)
+    # lane-dim blocks must be 128-multiples, so ci_chunk is fixed at
+    # min(cpad, 128); large channel counts instead shrink the DMA window and
+    # drop double-buffering to stay inside the 16 MB scoped-VMEM limit (the
+    # 256-ch convs OOM'd at W=2048 dbuf: 19.06M scoped)
     ci_chunk = min(cpad, 128)
     n_chunks = cpad // ci_chunk
+    dbuf = copad <= 128
+    kern = functools.partial(_bwd_kernel, B=B, W=W, WK=WK, K=k, Copad=copad,
+                             CiChunk=ci_chunk)
+    if dbuf:
+        win_scratch = [
+            pltpu.VMEM((copad // 2, W), jnp.int32),
+            pltpu.VMEM((copad // 2, W), jnp.int32),
+        ]
+    else:
+        base = kern
+
+        def kern(ws, ss, goT, rel, wmat, xT, dx, dw, win_a, gst, dwa, sem):
+            base(ws, ss, goT, rel, wmat, xT, dx, dw, win_a, None, gst, dwa,
+                 sem)
+
+        win_scratch = [pltpu.VMEM((copad // 2, W), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((k8, B), lambda c, i, ws, ss: (i, 0)),
-            pl.BlockSpec((k * copad, ci_chunk), lambda c, i, ws, ss: (0, c)),
+            pl.BlockSpec((k8 * copad, ci_chunk), lambda c, i, ws, ss: (0, c)),
             pl.BlockSpec((ci_chunk // 2, B), lambda c, i, ws, ss: (c, i)),
         ],
         out_specs=(
             pl.BlockSpec((B, ci_chunk), lambda c, i, ws, ss: (i, c)),
-            pl.BlockSpec((ci_chunk, k * copad), lambda c, i, ws, ss: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # dw written by explicit DMA
         ),
-        scratch_shapes=[
-            pltpu.VMEM((copad // 2, W), jnp.int32),
-            pltpu.VMEM((copad // 2, W), jnp.int32),
-            pltpu.VMEM((k * copad // 2, B), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+        scratch_shapes=win_scratch + [
+            pltpu.VMEM((k8 * copad // 2, B), jnp.int32),
+            pltpu.VMEM((ci_chunk, k8 * copad), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, B=B, W=W, WK=WK, K=k, Copad=copad,
-                          CiChunk=ci_chunk),
+        kern,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n, cpad), jnp.float32),
-            jax.ShapeDtypeStruct((cpad, k * copad), jnp.float32),
+            jax.ShapeDtypeStruct((cpad, k8 * copad), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -427,13 +479,14 @@ def _fused_core_fwd(feats, nbr, weight, interpret):
     n, ci = feats.shape
     k, _, co = weight.shape
     cpad = _cpad_for(ci)
+    k8 = _round_up(k, 8)
     ws, ss, relT, far, _ = plan_windows(nbr)
     xT = _pad_T(feats, cpad)
-    wflat = jnp.zeros((k, cpad, co), jnp.bfloat16)
+    wflat = jnp.zeros((k8, cpad, co), jnp.bfloat16)
     wflat = jax.lax.dynamic_update_slice(
         wflat, weight.astype(jnp.bfloat16), (0, 0, 0)
-    ).reshape(k * cpad, co)
-    out = _fused_fwd_core(xT, ws, ss, relT, wflat,
+    ).reshape(k8 * cpad, co)
+    out = _fused_fwd_core(xT, ws, ss, relT, wflat, k=k,
                           B=BLOCK, W=WINDOW, WK=SUBWIN, interpret=interpret)
     out = out + far_contribution(feats, far, weight, n)
     return out, (feats, nbr, weight, xT)
@@ -454,18 +507,22 @@ def _fused_core_bwd(interpret, res, g_out):
     g_out = g_out.astype(jnp.float32)
     goT = _pad_T(g_out, copad)
     nbr_rev = nbr[:, ::-1]
-    ws2, ss2, relT2, far2, _ = plan_windows(nbr_rev)
-    # wmat[k*copad + co_i, ci] = weight[k, ci, co_i]
-    wmat = jnp.zeros((k, copad, cpad), jnp.bfloat16)
+    # large-channel adjoints use a smaller window (VMEM budget; see
+    # _fused_bwd_core) — the extra out-of-window entries go to the COO pass
+    w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
+    ws2, ss2, relT2, far2, _ = plan_windows(nbr_rev, window=w2)
+    # wmat[k*copad + co_i, ci] = weight[k, ci, co_i]  (k8-padded)
+    k8 = _round_up(k, 8)
+    wmat = jnp.zeros((k8, copad, cpad), jnp.bfloat16)
     wmat = jax.lax.dynamic_update_slice(
         wmat, weight.astype(jnp.bfloat16).transpose(0, 2, 1), (0, 0, 0)
-    ).reshape(k * copad, cpad)
+    ).reshape(k8 * copad, cpad)
     dx_pad, dw_flat = _fused_bwd_core(
-        goT, xT, ws2, ss2, relT2, wmat,
-        B=BLOCK, W=WINDOW, WK=SUBWIN, interpret=interpret,
+        goT, xT, ws2, ss2, relT2, wmat, k=k,
+        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret,
     )
     dx = dx_pad[:, :ci]
-    dw = dw_flat.reshape(cpad, k, copad)[:ci, :, :co].transpose(1, 0, 2)
+    dw = dw_flat.reshape(cpad, k8, copad)[:ci, :k, :co].transpose(1, 0, 2)
 
     # far part of the REVERSED plan: entry (b, j=nbr_rev[b,k], k) demands
     # dx[b] += W_k^T gout[j]  and  dW_k += feats[b] gout[j]^T

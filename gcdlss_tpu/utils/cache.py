@@ -19,9 +19,14 @@ _DEFAULT = os.path.join(
 )
 
 
-def enable_compile_cache(path: str | None = None) -> str:
+def enable_compile_cache(path: str | None = None) -> str | None:
     import jax
 
+    if jax.default_backend() != "tpu":
+        # serializing CPU executables for the cache segfaults this jaxlib
+        # (observed: put_executable_and_time -> SIGSEGV under pytest); the
+        # cache only pays off for the remote-compiled TPU programs anyway
+        return None
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

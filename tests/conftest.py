@@ -36,8 +36,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NB: do NOT enable the persistent compilation cache here — serializing CPU
+# executables for the cache segfaults this jaxlib (put_executable_and_time
+# -> SIGSEGV); the cache is TPU-only (gcdlss_tpu.utils.cache).
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

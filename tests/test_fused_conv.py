@@ -106,3 +106,26 @@ def test_supported_predicate():
     assert not fc.supported(fc.WINDOW + 1)
     assert fc.supported(fc.WINDOW)
     assert fc.supported(4 * fc.WINDOW)
+
+
+def test_fused_large_channel_single_buffer_bwd():
+    """copad > 128 takes the single-buffered small-window backward path."""
+    rng = np.random.default_rng(5)
+    cap, ci, co = 2048, 32, 192
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci)
+    k = nbr.shape[1]
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.standard_normal((cap, co)).astype(np.float32))
+
+    def loss_ref(f, ww):
+        return jnp.sum(gather_conv(f, nbr, ww, symmetric_adjoint=True).astype(jnp.float32) * cot)
+
+    def loss_fused(f, ww):
+        return jnp.sum(fc.fused_subm_conv(f, nbr, ww, interpret=True).astype(jnp.float32) * cot)
+
+    gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    gf, gw = jax.grad(loss_fused, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf, np.float32),
+                               np.asarray(gf_ref, np.float32), rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(np.asarray(gw, np.float32),
+                               np.asarray(gw_ref, np.float32), rtol=0.1, atol=0.1)
