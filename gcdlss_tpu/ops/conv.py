@@ -126,6 +126,82 @@ def _gc_bwd(precision, symmetric_adjoint, res, g_out):
 _gather_conv_core.defvjp(_gc_fwd, _gc_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bulk_conv_core(feats, nbr, weight, symmetric_adjoint):
+    return _bulk_conv_fwd_impl(feats, nbr, weight)
+
+
+def _bulk_conv_fwd_impl(feats, nbr, weight):
+    """Small-ci sparse conv: ONE bulk gather + ONE matmul.
+
+    The offset-scan formulation degenerates for tiny channel counts — the
+    k=5 ci=1 stem becomes 125 scalar-width gathers plus 125 [N,1]x[1,co]
+    outer products (measured 75 ms at 69k voxels on v5e). Bulk form:
+    G[i] = concat_k x[nbr[i,k]] is [N, K*ci] (small when K*ci is), and the
+    conv is one MXU matmul G @ W.reshape(K*ci, co)."""
+    m, k = nbr.shape
+    ci = feats.shape[1]
+    safe = jnp.where(nbr >= 0, nbr, 0)
+    g = feats[safe] * (nbr >= 0)[:, :, None].astype(feats.dtype)  # [M,K,ci]
+    return jnp.dot(
+        g.reshape(m, k * ci), weight.reshape(k * ci, weight.shape[2]),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bulk_fwd(feats, nbr, weight, symmetric_adjoint):
+    return _bulk_conv_fwd_impl(feats, nbr, weight), (feats, nbr, weight)
+
+
+def _bulk_bwd(symmetric_adjoint, res, g_out):
+    feats, nbr, weight = res
+    m, k = nbr.shape
+    n, ci = feats.shape
+    co = weight.shape[2]
+    gb = g_out.astype(feats.dtype)
+    # dW: recompute the bulk gather, one contraction over rows
+    safe = jnp.where(nbr >= 0, nbr, 0)
+    g = feats[safe] * (nbr >= 0)[:, :, None].astype(feats.dtype)
+    dW = jnp.dot(
+        g.reshape(m, k * ci).T, gb, preferred_element_type=jnp.float32
+    ).reshape(k, ci, co)
+    if symmetric_adjoint and m == n:
+        # dx[j] = sum_k gout[nbr_rev[j,k]] @ W_k^T, in offset chunks so the
+        # gathered [N, kc, co] operand stays bounded
+        nrev = nbr[:, ::-1]
+        w_adj = weight.astype(feats.dtype)  # [K, ci, co]
+        chunk = max(1, 2048 // max(co, 1))
+        dx = jnp.zeros((n, ci), jnp.float32)
+        for s in range(0, k, chunk):
+            nc = nrev[:, s:s + chunk]
+            kc = nc.shape[1]
+            safe_c = jnp.where(nc >= 0, nc, 0)
+            gc = gb[safe_c] * (nc >= 0)[:, :, None].astype(feats.dtype)
+            wc = w_adj[s:s + kc].transpose(0, 2, 1).reshape(kc * co, ci)
+            dx = dx + jnp.dot(gc.reshape(n, kc * co), wc,
+                              preferred_element_type=jnp.float32)
+        return dx.astype(feats.dtype), None, dW.astype(weight.dtype)
+    # strided rulebook: generic per-offset scatter-add adjoint
+    def step_dx(dx, inp):
+        nbr_k, w_k = inp
+        mask = (nbr_k >= 0)[:, None].astype(jnp.float32)
+        safe_k = jnp.where(nbr_k >= 0, nbr_k, 0)
+        c = jnp.dot(g_out.astype(jnp.float32), w_k.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32) * mask
+        return dx.at[safe_k].add(c, mode="drop"), None
+
+    dx, _ = jax.lax.scan(
+        step_dx, jnp.zeros(feats.shape, jnp.float32), (nbr.T, weight)
+    )
+    return dx.astype(feats.dtype), None, dW.astype(weight.dtype)
+
+
+_bulk_conv_core.defvjp(_bulk_fwd, _bulk_bwd)
+
+# bulk path when the gathered operand row K*ci is matmul-sized
+_BULK_MAX_KCI = 256
+
+
 def gather_conv(
     feats: jax.Array,
     nbr: jax.Array,
@@ -155,9 +231,16 @@ def gather_conv(
     re-mask after bias-adds).
     """
     dt = compute_dtype or feats.dtype
-    out = _gather_conv_core(
-        feats.astype(dt), nbr, weight.astype(dt), precision, symmetric_adjoint
-    )
+    ci = feats.shape[1]
+    if nbr.shape[1] * ci <= _BULK_MAX_KCI:
+        out = _bulk_conv_core(
+            feats.astype(dt), nbr, weight.astype(dt), symmetric_adjoint
+        )
+    else:
+        out = _gather_conv_core(
+            feats.astype(dt), nbr, weight.astype(dt), precision,
+            symmetric_adjoint
+        )
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(feats.dtype)

@@ -132,20 +132,32 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
 
     far_mask = (nbrT >= 0) & ~near  # [nb, k8, block]
     far_count = jnp.sum(far_mask.astype(jnp.int32))
-    (flat_idx,) = jnp.nonzero(far_mask.reshape(-1), size=far_cap,
-                              fill_value=-1)
-    # flat index decodes as ((b*k8 + kk)*block + col)
-    col = flat_idx % block
-    bk = flat_idx // block
-    far_k = jnp.where(flat_idx >= 0, bk % k8, 0).astype(jnp.int32)
-    far_out = jnp.where(
-        flat_idx >= 0, (bk // k8) * block + col, -1
-    ).astype(jnp.int32)
-    safe_flat = jnp.where(flat_idx >= 0, flat_idx, 0)
-    far_in = jnp.where(
-        flat_idx >= 0, nbrT.reshape(-1)[safe_flat], -1
-    ).astype(jnp.int32)
-    return ws, ss, relT, (far_out, far_in, far_k), far_count
+
+    # `jnp.nonzero` measured 22 ms at 69k voxels (sort-like lowering) while
+    # far_count is zero on every measured scan — extract only when needed
+    def _extract(_):
+        (flat_idx,) = jnp.nonzero(far_mask.reshape(-1), size=far_cap,
+                                  fill_value=-1)
+        # flat index decodes as ((b*k8 + kk)*block + col)
+        col = flat_idx % block
+        bk = flat_idx // block
+        far_k = jnp.where(flat_idx >= 0, bk % k8, 0).astype(jnp.int32)
+        far_out = jnp.where(
+            flat_idx >= 0, (bk // k8) * block + col, -1
+        ).astype(jnp.int32)
+        safe_flat = jnp.where(flat_idx >= 0, flat_idx, 0)
+        far_in = jnp.where(
+            flat_idx >= 0, nbrT.reshape(-1)[safe_flat], -1
+        ).astype(jnp.int32)
+        return far_out, far_in, far_k
+
+    def _empty(_):
+        return (jnp.full((far_cap,), -1, jnp.int32),
+                jnp.full((far_cap,), -1, jnp.int32),
+                jnp.zeros((far_cap,), jnp.int32))
+
+    far = jax.lax.cond(far_count > 0, _extract, _empty, None)
+    return ws, ss, relT, far, far_count
 
 
 def far_contribution(feats: jax.Array, far, weight: jax.Array,
@@ -480,7 +492,7 @@ def _fused_core_fwd(feats, nbr, weight, interpret):
     k, _, co = weight.shape
     cpad = _cpad_for(ci)
     k8 = _round_up(k, 8)
-    ws, ss, relT, far, _ = plan_windows(nbr)
+    ws, ss, relT, far, far_n = plan_windows(nbr)
     xT = _pad_T(feats, cpad)
     wflat = jnp.zeros((k8, cpad, co), jnp.bfloat16)
     wflat = jax.lax.dynamic_update_slice(
@@ -488,7 +500,14 @@ def _fused_core_fwd(feats, nbr, weight, interpret):
     ).reshape(k8 * cpad, co)
     out = _fused_fwd_core(xT, ws, ss, relT, wflat, k=k,
                           B=BLOCK, W=WINDOW, WK=SUBWIN, interpret=interpret)
-    out = out + far_contribution(feats, far, weight, n)
+    # the COO finish costs ~3-5 ms even with zero entries (27-step scan of
+    # [far_cap, C] dots) — skip it entirely on the (typical) far-free path
+    out = jax.lax.cond(
+        far_n > 0,
+        lambda o: o + far_contribution(feats, far, weight, n),
+        lambda o: o,
+        out,
+    )
     return out, (feats, nbr, weight, xT)
 
 
@@ -510,7 +529,7 @@ def _fused_core_bwd(interpret, res, g_out):
     # large-channel adjoints use a smaller window (VMEM budget; see
     # _fused_bwd_core) — the extra out-of-window entries go to the COO pass
     w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
-    ws2, ss2, relT2, far2, _ = plan_windows(nbr_rev, window=w2)
+    ws2, ss2, relT2, far2, far_n2 = plan_windows(nbr_rev, window=w2)
     # wmat[k*copad + co_i, ci] = weight[k, ci, co_i]  (k8-padded)
     k8 = _round_up(k, 8)
     wmat = jnp.zeros((k8, copad, cpad), jnp.bfloat16)
@@ -526,19 +545,25 @@ def _fused_core_bwd(interpret, res, g_out):
 
     # far part of the REVERSED plan: entry (b, j=nbr_rev[b,k], k) demands
     # dx[b] += W_k^T gout[j]  and  dW_k += feats[b] gout[j]^T
-    w_adj = weight.transpose(0, 2, 1)  # [K, Co, Ci]
-    dx = dx + far_contribution(g_out, far2, w_adj, n)
-    far_out, far_in, far_k = far2
-    ok = (far_in >= 0)[:, None].astype(jnp.float32)
-    gx = feats[jnp.where(far_in >= 0, far_out, 0)].astype(jnp.float32) * ok
-    gg = g_out[jnp.where(far_in >= 0, far_in, 0)] * ok
+    # (skipped entirely on the typical far-free path — see plan_windows)
+    def _with_far(args):
+        dx, dw = args
+        w_adj = weight.transpose(0, 2, 1)  # [K, Co, Ci]
+        dx = dx + far_contribution(g_out, far2, w_adj, n)
+        far_out, far_in, far_k = far2
+        ok = (far_in >= 0)[:, None].astype(jnp.float32)
+        gx = feats[jnp.where(far_in >= 0, far_out, 0)].astype(jnp.float32) * ok
+        gg = g_out[jnp.where(far_in >= 0, far_in, 0)] * ok
 
-    def dw_step(_, k_idx):
-        sel = (far_k == k_idx)[:, None].astype(jnp.float32)
-        return 0, jnp.dot((gx * sel).T, gg, preferred_element_type=jnp.float32)
+        def dw_step(_, k_idx):
+            sel = (far_k == k_idx)[:, None].astype(jnp.float32)
+            return 0, jnp.dot((gx * sel).T, gg,
+                              preferred_element_type=jnp.float32)
 
-    _, dw_far = jax.lax.scan(dw_step, 0, jnp.arange(k, dtype=jnp.int32))
-    dw = dw + dw_far
+        _, dw_far = jax.lax.scan(dw_step, 0, jnp.arange(k, dtype=jnp.int32))
+        return dx, dw + dw_far
+
+    dx, dw = jax.lax.cond(far_n2 > 0, _with_far, lambda a: a, (dx, dw))
     return dx.astype(feats.dtype), None, dw.astype(weight.dtype)
 
 
@@ -569,13 +594,17 @@ def supported(n_rows: int, ci: int | None = None,
               kernel_volume: int | None = None) -> bool:
     """Shape gate: the kernel needs whole blocks and at least one window.
 
-    Small-channel convs (the ci=1 stem) stay on the XLA path — their gathers
-    are cheap relative to the kernel's fixed per-block costs. Large kernels
-    (the 125-offset k5 stem) are excluded: the unrolled offset loop would
-    make Mosaic compiles pathological."""
+    Channel/kernel product is bounded so the unrolled offset loop stays
+    Mosaic-compilable and gst fits VMEM: k3 convs for any ci, and the
+    125-offset ci=1 stem (cpad=32, K*cpad=4000 — the XLA path runs its
+    width-1 gathers at ~68 ms vs a few ms fused)."""
     ok = n_rows % BLOCK == 0 and n_rows >= WINDOW
-    if ci is not None:
+    if ci is not None and kernel_volume is not None:
+        small_k = kernel_volume <= 32 and ci >= 32
+        stem_like = kernel_volume * _cpad_for(ci) <= 4096
+        ok = ok and (small_k or stem_like)
+    elif ci is not None:
         ok = ok and ci >= 32
-    if kernel_volume is not None:
+    elif kernel_volume is not None:
         ok = ok and kernel_volume <= 32
     return ok

@@ -71,3 +71,37 @@ def sorted_join(table_hi, table_lo, q_hi, q_lo):
         jnp.where(is_q, match, -1), mode="drop"
     )
     return out
+
+
+def sorted_rank(table_hi, table_lo, q_hi, q_lo):
+    """Insertion index of each query key into the sorted table.
+
+    Returns p in [0, n]: the index of the first table row with key >= the
+    query key (n if none). Together with the z-contiguity of sorted voxel
+    keys this lets one join serve a whole window of consecutive-z offsets
+    (see plan.build_neighbor_map's column decomposition).
+    """
+    n = table_hi.shape[0]
+    m = q_hi.shape[0]
+    hi = jnp.concatenate([table_hi, q_hi])
+    # queries sort BEFORE equal-key table rows (tag 0 vs 1): the inclusive
+    # cumsum of table rows at a query position then counts exactly the
+    # table keys strictly below the query key = its insertion index
+    lo2 = jnp.concatenate(
+        [
+            jnp.minimum(table_lo, (1 << 30) - 1) * 2 + 1,
+            jnp.minimum(q_lo, (1 << 30) - 1) * 2,
+        ]
+    )
+    payload = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
+    )
+    hi_s, lo2_s, pay_s = jax.lax.sort((hi, lo2, payload), num_keys=2)
+    is_t = (lo2_s & 1) == 1
+    cnt = jnp.cumsum(is_t.astype(jnp.int32))
+    out = jnp.zeros((m,), jnp.int32)
+    is_q = ~is_t
+    out = out.at[jnp.where(is_q, pay_s, m)].set(
+        jnp.where(is_q, cnt, 0), mode="drop"
+    )
+    return out

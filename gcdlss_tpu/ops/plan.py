@@ -21,6 +21,7 @@ Coordinates are stored in *stride units*, so pooling is always `>> 1`.
 from __future__ import annotations
 
 import itertools
+import os
 from typing import NamedTuple
 
 import jax
@@ -29,6 +30,7 @@ import numpy as np
 
 from .coords import (
     SENTINEL_HI,
+    SENTINEL_LO,
     encode_coords,
     sorted_unique,
     decode_keys,
@@ -82,6 +84,32 @@ def _join_offsets(coords, valid, key_hi, key_lo, offsets, max_offsets_per_join):
     return jnp.concatenate(chunks, axis=1)
 
 
+def _transpose_half(half_nbr: jax.Array, cap: int) -> jax.Array:
+    """Adjoint columns: trans[j, half-1-k] = i iff half_nbr[i, k] = j."""
+    half = half_nbr.shape[1]
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    tcol = (half - 1) - jnp.arange(half, dtype=jnp.int32)[None, :]
+    # absent entries get distinct out-of-bounds slots so unique_indices holds
+    oob = cap * half + jnp.arange(cap * half, dtype=jnp.int32).reshape(cap, half)
+    pos = jnp.where(half_nbr >= 0, half_nbr * half + tcol, oob)
+    vals = jnp.broadcast_to(rows[:, None], (cap, half))
+    return (
+        jnp.full((cap * half,), -1, jnp.int32)
+        .at[pos.reshape(-1)]
+        .set(vals.reshape(-1), mode="drop", unique_indices=True)
+        .reshape(cap, half)
+    )
+
+
+def _is_cube(offsets: np.ndarray) -> int:
+    """If offsets is the full k^3 product list in order, return k, else 0."""
+    kk = len(offsets)
+    k1 = round(kk ** (1.0 / 3.0))
+    if k1 ** 3 == kk and (offsets == _offsets(k1)).all():
+        return int(k1)
+    return 0
+
+
 def build_neighbor_map(
     coords: jax.Array,
     valid: jax.Array,
@@ -93,17 +121,32 @@ def build_neighbor_map(
 ) -> jax.Array:
     """[cap, K] neighbor row indices for submanifold conv (center included).
 
-    Large kernels (the 125-offset stem) are processed in offset chunks so each
-    sort-join stays a moderate size (compiler + memory friendliness).
+    For full k^3 kernels the build uses a COLUMN decomposition: voxel keys
+    sort as (b, x, y, z), so for a fixed (dx, dy) the table rows matching
+    z+dz for dz in [-r, r] are *consecutive*. One insertion-rank join
+    (`sorted_rank`) per column at the window's lowest z locates the run;
+    reading the <= k consecutive rows and key-diffing resolves every dz at
+    once. Negation symmetry halves the joined columns (the other half is the
+    transposed map) and the center column needs no join at all — candidate
+    rows are i-r..i+r. Sort volume for the k=5 stem drops from (62+2)*N
+    rows to 13*N (measured 307 ms -> see BENCH.md, v5e at 262k voxels).
 
-    With `symmetric=True` (valid for any negation-symmetric offset list in
-    product order, i.e. offsets[K-1-k] == -offsets[k]), only the first K//2
-    offsets are joined; the center column is the identity and the last K//2
-    columns are the *transposed* maps (nbr[j, K-1-k] = i iff nbr[i, k] = j,
-    an injective scatter) — halving the sort-join work of the plan build.
+    Non-cube offset lists fall back to per-offset sort-merge joins
+    (transpose-halved when negation-symmetric in product order).
     """
     kk = len(offsets)
     cap = coords.shape[0]
+    # The column decomposition cuts SORT volume 5x (stem rank join: 307 ms
+    # -> 28 ms measured) but its candidate resolution and transpose are
+    # XLA monotone gathers/scatters (~7 ns/elem) that eat the win: 412 ms
+    # end-to-end vs 307 ms for the plain joins. Off by default until those
+    # two phases move into a Pallas kernel (they are windowed/monotone,
+    # same pattern as ops/fused_conv).
+    k1 = _is_cube(offsets) if os.environ.get(
+        "GCDLSS_PLAN_COLUMNS", "0") == "1" else 0
+    if k1:
+        return _build_cube_neighbor_map(
+            coords, valid, key_hi, key_lo, k1)
     if not (symmetric and kk % 2 == 1 and (offsets + offsets[::-1] == 0).all()):
         return _join_offsets(coords, valid, key_hi, key_lo, offsets,
                              max_offsets_per_join)
@@ -113,19 +156,73 @@ def build_neighbor_map(
     )  # [cap, half]
     rows = jnp.arange(cap, dtype=jnp.int32)
     center = jnp.where(valid, rows, -1).astype(jnp.int32)
-    # transpose block: column K-1-k lands at trans column half-1-k
-    tcol = (half - 1) - jnp.arange(half, dtype=jnp.int32)[None, :]
-    # absent entries get distinct out-of-bounds slots so unique_indices holds
-    oob = cap * half + jnp.arange(cap * half, dtype=jnp.int32).reshape(cap, half)
-    pos = jnp.where(half_nbr >= 0, half_nbr * half + tcol, oob)
-    vals = jnp.broadcast_to(rows[:, None], (cap, half))
-    trans = (
-        jnp.full((cap * half,), -1, jnp.int32)
-        .at[pos.reshape(-1)]
-        .set(vals.reshape(-1), mode="drop", unique_indices=True)
-        .reshape(cap, half)
-    )
+    trans = _transpose_half(half_nbr, cap)
     return jnp.concatenate([half_nbr, center[:, None], trans], axis=1)
+
+
+def _build_cube_neighbor_map(coords, valid, key_hi, key_lo, k1: int):
+    """Column-decomposition build for a full k1^3 kernel (see above).
+
+    All [hc, cap]-shaped intermediates keep `cap` as the minor (lane)
+    dimension — a [cap, hc] layout would be 128-lane padded ~10x by XLA and
+    measured slower than the plain per-offset joins it replaces.
+    """
+    r = k1 // 2
+    cap = coords.shape[0]
+    ncols = k1 * k1
+    hc = (ncols - 1) // 2  # joined columns; the rest: center + transpose
+    col_off = _offsets(k1).reshape(ncols, k1, 3)[:, 0, :2]  # (dx, dy)/column
+
+    # --- joined half columns: one rank join at the window's lowest z ---
+    # keys built arithmetically in the transposed [hc, cap] layout:
+    #   hi = b*FIELD + (x+dx+OFF)   -> hi + dx
+    #   lo = (y+dy+OFF)*FIELD + (z-r+OFF) -> lo + dy*FIELD - r
+    # (valid because encode clips are inactive for in-range coords; the rank
+    # join rejects any clipped/garbage key by exact compare later)
+    from .coords import FIELD
+    from .join import sorted_rank
+
+    dxy = np.asarray(col_off[:hc], np.int32)  # [hc, 2]
+    dhi = jnp.asarray(dxy[:, 0], jnp.int32)[:, None]  # [hc, 1]
+    dlo = jnp.asarray(dxy[:, 1] * FIELD - r, jnp.int32)[:, None]
+    qh = jnp.where(valid[None, :], key_hi[None, :] + dhi, SENTINEL_HI)
+    ql = jnp.where(valid[None, :], key_lo[None, :] + dlo, SENTINEL_LO)
+    p = sorted_rank(key_hi, key_lo, qh.reshape(-1), ql.reshape(-1))
+    p = p.reshape(hc, cap)
+
+    # read the <= k1 consecutive candidate rows; key-diff assigns each to
+    # its dz slot (same (b,x,y) <=> hi equal and lo delta in [0, 2r])
+    half_map = jnp.full((hc, k1, cap), -1, jnp.int32)
+    for m in range(k1):
+        crow = jnp.clip(p + m, 0, cap - 1)
+        chi = key_hi[crow]
+        clo = key_lo[crow]
+        delta = clo - ql
+        # (sentinel == sentinel would false-match invalid rows: exclude)
+        ok = (chi == qh) & (qh != SENTINEL_HI) & (delta >= 0) & (delta <= 2 * r)
+        dz = jnp.where(ok, delta, -1)
+        hit = dz[:, None, :] == jnp.arange(k1, dtype=jnp.int32)[None, :, None]
+        half_map = jnp.maximum(
+            half_map, jnp.where(hit, crow[:, None, :], -1)
+        )
+    half_map_t = half_map.reshape(hc * k1, cap)
+
+    # --- center column: candidates are the voxel's own neighborhood rows ---
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    center = jnp.full((k1, cap), -1, jnp.int32)
+    for m in range(-r, r + 1):
+        crow = jnp.clip(rows + m, 0, cap - 1)
+        chi = key_hi[crow]
+        clo = key_lo[crow]
+        d0 = clo - key_lo
+        ok = valid & (chi == key_hi) & (d0 >= -r) & (d0 <= r)
+        dz = jnp.where(ok, d0 + r, -1)
+        hit = dz[None, :] == jnp.arange(k1, dtype=jnp.int32)[:, None]
+        center = jnp.maximum(center, jnp.where(hit, crow[None, :], -1))
+
+    half_map = half_map_t.T  # one relayout into the public [cap, K] order
+    trans = _transpose_half(half_map, cap)
+    return jnp.concatenate([half_map, center.T, trans], axis=1)
 
 
 def build_unet_plan(

@@ -126,3 +126,31 @@ def test_symmetric_neighbor_map_matches_full_join():
         ref = build_neighbor_map(lcoords, lvalid, uh, ul, offs, symmetric=False)
         sym = build_neighbor_map(lcoords, lvalid, uh, ul, offs, symmetric=True)
         np.testing.assert_array_equal(np.asarray(sym), np.asarray(ref))
+
+
+def test_cube_column_neighbor_map_matches_full_join():
+    """The column-decomposition build (rank join + consecutive-row window)
+    equals the per-offset sort-merge join for full k^3 kernels."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.coords import encode_coords, sorted_unique, decode_keys, SENTINEL_HI
+    from gcdlss_tpu.ops import plan as P
+
+    rng = np.random.default_rng(17)
+    cap = 1024
+    pts = rng.integers(-12, 12, size=(1600, 3)).astype(np.int32)
+    b = rng.integers(0, 3, size=(1600, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(cap * 0.9)]
+    coords = np.zeros((cap, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((cap,), bool)
+    valid[: len(c)] = True
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inv, cnt = sorted_unique(hi, lo, cap)
+    lvalid = uh != SENTINEL_HI
+    lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
+    for offs in (P.KERNEL_OFFSETS_3, P.KERNEL_OFFSETS_5):
+        ref = P._join_offsets(lcoords, lvalid, uh, ul, offs, 32)
+        cols = P._build_cube_neighbor_map(lcoords, lvalid, uh, ul,
+                                          round(len(offs) ** (1 / 3)))
+        np.testing.assert_array_equal(np.asarray(cols), np.asarray(ref))
