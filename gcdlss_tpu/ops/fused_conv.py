@@ -226,6 +226,7 @@ def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     C2 = Cpad // 2
+    dbuf = win_b is not None
 
     def start(buf, j, s):
         pltpu.make_async_copy(
@@ -237,31 +238,38 @@ def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
             xT_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[j], 128), W)], buf,
             sem.at[s]).wait()
 
-    even = jax.lax.rem(i, 2) == 0
-
-    @pl.when(i == 0)
-    def _():
-        start(win_a, 0, 0)
-
-    @pl.when((i + 1 < nb) & even)
-    def _():
-        start(win_b, i + 1, 1)
-
-    @pl.when((i + 1 < nb) & ~even)
-    def _():
-        start(win_a, i + 1, 0)
-
-    @pl.when(even)
-    def _():
+    if not dbuf:
+        # single-buffered: large-channel convs trade DMA overlap for VMEM
+        start(win_a, i, 0)
         wait(win_a, i, 0)
         _gather_all_offsets(i, win_a, ss_ref, rel_ref, gst,
                             B=B, WK=WK, K=K, C2=C2)
+    else:
+        even = jax.lax.rem(i, 2) == 0
 
-    @pl.when(~even)
-    def _():
-        wait(win_b, i, 1)
-        _gather_all_offsets(i, win_b, ss_ref, rel_ref, gst,
-                            B=B, WK=WK, K=K, C2=C2)
+        @pl.when(i == 0)
+        def _():
+            start(win_a, 0, 0)
+
+        @pl.when((i + 1 < nb) & even)
+        def _():
+            start(win_b, i + 1, 1)
+
+        @pl.when((i + 1 < nb) & ~even)
+        def _():
+            start(win_a, i + 1, 0)
+
+        @pl.when(even)
+        def _():
+            wait(win_a, i, 0)
+            _gather_all_offsets(i, win_a, ss_ref, rel_ref, gst,
+                                B=B, WK=WK, K=K, C2=C2)
+
+        @pl.when(~even)
+        def _():
+            wait(win_b, i, 1)
+            _gather_all_offsets(i, win_b, ss_ref, rel_ref, gst,
+                                B=B, WK=WK, K=K, C2=C2)
 
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Cpad, B]
     o_ref[:] = jax.lax.dot_general(
@@ -375,9 +383,26 @@ def _pad_T(x: jax.Array, cpad: int) -> jax.Array:
     return xi.T
 
 
+def _fwd_geometry(cpad: int, co: int, k: int):
+    """(window, dbuf) for the forward kernel under a ~14 MB VMEM budget."""
+    k8 = _round_up(k, 8)
+
+    def est(w, nbuf):
+        return (nbuf * (cpad // 2) * w * 4      # window buffer(s)
+                + k8 * (cpad // 2) * BLOCK * 4  # gst
+                + k8 * cpad * co * 2            # wflat (resident)
+                + 2 * BLOCK * co * 4)           # out blocks
+
+    for w, nbuf in ((WINDOW, 2), (WINDOW, 1), (WINDOW // 2, 1)):
+        if est(w, nbuf) <= 14 * 1024 * 1024:
+            return w, nbuf == 2
+    return WINDOW // 2, False
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("k", "B", "W", "WK", "interpret"))
-def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, interpret=False):
+                   static_argnames=("k", "B", "W", "WK", "dbuf", "interpret"))
+def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
+                    interpret=False):
     """wflat is k8-padded: [k8*cpad, co] with zero rows for offsets >= k, so
     stale gst rows beyond the real offsets contribute nothing to the dot."""
     cpad, n = 2 * xT.shape[0], xT.shape[1]
@@ -385,6 +410,18 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, interpret=False):
     co = wflat.shape[1]
     k8 = _round_up(k, 8)
     nb = nbk // k8
+    kern = functools.partial(_fwd_kernel, B=B, W=W, WK=WK, K=k, Cpad=cpad,
+                             Co=co)
+    if dbuf:
+        win_scratch = [pltpu.VMEM((cpad // 2, W), jnp.int32),
+                       pltpu.VMEM((cpad // 2, W), jnp.int32)]
+    else:
+        base = kern
+
+        def kern(ws_r, ss_r, xT_r, rel_r, w_r, o_r, win_a, gst, sem):
+            base(ws_r, ss_r, xT_r, rel_r, w_r, o_r, win_a, None, gst, sem)
+
+        win_scratch = [pltpu.VMEM((cpad // 2, W), jnp.int32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -394,15 +431,13 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, co), lambda i, ws, ss: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((cpad // 2, W), jnp.int32),
-            pltpu.VMEM((cpad // 2, W), jnp.int32),
+        scratch_shapes=win_scratch + [
             pltpu.VMEM((k8 * cpad // 2, B), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, B=B, W=W, WK=WK, K=k, Cpad=cpad, Co=co),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, co), jnp.float32),
         interpret=interpret,
@@ -492,14 +527,15 @@ def _fused_core_fwd(feats, nbr, weight, interpret):
     k, _, co = weight.shape
     cpad = _cpad_for(ci)
     k8 = _round_up(k, 8)
-    ws, ss, relT, far, far_n = plan_windows(nbr)
+    w_f, dbuf_f = _fwd_geometry(cpad, co, k)
+    ws, ss, relT, far, far_n = plan_windows(nbr, window=w_f)
     xT = _pad_T(feats, cpad)
     wflat = jnp.zeros((k8, cpad, co), jnp.bfloat16)
     wflat = jax.lax.dynamic_update_slice(
         wflat, weight.astype(jnp.bfloat16), (0, 0, 0)
     ).reshape(k8 * cpad, co)
-    out = _fused_fwd_core(xT, ws, ss, relT, wflat, k=k,
-                          B=BLOCK, W=WINDOW, WK=SUBWIN, interpret=interpret)
+    out = _fused_fwd_core(xT, ws, ss, relT, wflat, k=k, dbuf=dbuf_f,
+                          B=BLOCK, W=w_f, WK=SUBWIN, interpret=interpret)
     # the COO finish costs ~3-5 ms even with zero entries (27-step scan of
     # [far_cap, C] dots) — skip it entirely on the (typical) far-free path
     out = jax.lax.cond(
