@@ -105,3 +105,58 @@ def sorted_rank(table_hi, table_lo, q_hi, q_lo):
         jnp.where(is_q, cnt, 0), mode="drop"
     )
     return out
+
+
+def sorted_rank_match(table_hi, table_lo, q_hi, q_lo, max_delta):
+    """Insertion index of each query + whether a match can exist.
+
+    Returns (p [M] in [0, n], has [M] bool) where `has` is True iff the
+    first table key >= the query key has the same hi word and a lo delta in
+    [0, max_delta] — i.e. the query's candidate window is non-empty. Queries
+    without a possible match get arbitrary insertion points (batch-boundary
+    artifacts); flagging them lets callers exclude them from window
+    planning instead of treating them as out-of-window ("far") entries.
+
+    The next-table key at each merged position comes from a suffix
+    associative scan ("first table entry at-or-after"), not a gather.
+    """
+    n = table_hi.shape[0]
+    m = q_hi.shape[0]
+    hi = jnp.concatenate([table_hi, q_hi])
+    lo2 = jnp.concatenate(
+        [
+            jnp.minimum(table_lo, (1 << 30) - 1) * 2 + 1,
+            jnp.minimum(q_lo, (1 << 30) - 1) * 2,
+        ]
+    )
+    payload = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
+    )
+    hi_s, lo2_s, pay_s = jax.lax.sort((hi, lo2, payload), num_keys=2)
+    is_t = (lo2_s & 1) == 1
+    lo_key = lo2_s >> 1
+    cnt = jnp.cumsum(is_t.astype(jnp.int32))
+
+    # suffix scan: first table (hi, lo) at-or-after each position
+    def comb(a, b):
+        # in reverse mode `b` is the element NEARER the output position;
+        # keep it when present (verified against a toy suffix-fill)
+        am, ah, al = a
+        bm, bh, bl = b
+        return (am | bm, jnp.where(bm, bh, ah), jnp.where(bm, bl, al))
+
+    nm, nh, nl = jax.lax.associative_scan(
+        comb,
+        (is_t, jnp.where(is_t, hi_s, 0), jnp.where(is_t, lo_key, 0)),
+        reverse=True,
+    )
+    has_here = nm & (nh == hi_s) & (nl - lo_key >= 0) & (nl - lo_key <= max_delta)
+
+    is_q = ~is_t
+    p = jnp.zeros((m,), jnp.int32).at[jnp.where(is_q, pay_s, m)].set(
+        jnp.where(is_q, cnt, 0), mode="drop"
+    )
+    has = jnp.zeros((m,), bool).at[jnp.where(is_q, pay_s, m)].set(
+        jnp.where(is_q, has_here, False), mode="drop"
+    )
+    return p, has

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .coords import (
+    FIELD,
     SENTINEL_HI,
     SENTINEL_LO,
     encode_coords,
@@ -136,17 +137,33 @@ def build_neighbor_map(
     """
     kk = len(offsets)
     cap = coords.shape[0]
-    # The column decomposition cuts SORT volume 5x (stem rank join: 307 ms
-    # -> 28 ms measured) but its candidate resolution and transpose are
-    # XLA monotone gathers/scatters (~7 ns/elem) that eat the win: 412 ms
-    # end-to-end vs 307 ms for the plain joins. Off by default until those
-    # two phases move into a Pallas kernel (they are windowed/monotone,
-    # same pattern as ops/fused_conv).
-    k1 = _is_cube(offsets) if os.environ.get(
-        "GCDLSS_PLAN_COLUMNS", "0") == "1" else 0
+    k1 = _is_cube(offsets)
     if k1:
-        return _build_cube_neighbor_map(
-            coords, valid, key_hi, key_lo, k1)
+        # On TPU: rank join + Pallas candidates kernel (ops/plan_kernel) —
+        # one sort at 1/5 the volume of the per-offset joins, candidates at
+        # VPU rate instead of XLA's ~7 ns/element monotone gathers. Falls
+        # back in-graph to the XLA column build if any candidate run falls
+        # outside its sub-window (never observed on real scans).
+        from . import plan_kernel as pk
+
+        # default OFF this round: the k5 kernel's Mosaic compile takes
+        # tens of minutes through this rig's remote-compile tunnel (1500
+        # unrolled gather bodies), which would blow the driver's bench
+        # budget on a cold cache. k3 is hardware-validated (83 -> 49 ms at
+        # 262k); enable with GCDLSS_PLAN_KERNEL=1 once the cache is primed.
+        use_kernel = (
+            os.environ.get("GCDLSS_PLAN_KERNEL", "0") == "1"
+            and pk.supported(cap, k1)
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            return _build_cube_kernel_map(coords, valid, key_hi, key_lo, k1)
+        if os.environ.get("GCDLSS_PLAN_COLUMNS", "0") == "1":
+            # XLA-only column build: cuts sort volume 5x but XLA executes
+            # the candidate gathers + transpose scatter at ~7 ns/element —
+            # measured slower end-to-end than the joins; kept for testing
+            return _build_cube_neighbor_map(
+                coords, valid, key_hi, key_lo, k1)
     if not (symmetric and kk % 2 == 1 and (offsets + offsets[::-1] == 0).all()):
         return _join_offsets(coords, valid, key_hi, key_lo, offsets,
                              max_offsets_per_join)
@@ -158,6 +175,49 @@ def build_neighbor_map(
     center = jnp.where(valid, rows, -1).astype(jnp.int32)
     trans = _transpose_half(half_nbr, cap)
     return jnp.concatenate([half_nbr, center[:, None], trans], axis=1)
+
+
+def _column_ranks(valid, key_hi, key_lo, k1: int):
+    """Insertion ranks + has-match bits for every non-center (dx, dy)
+    column (product order).
+
+    Query keys are built arithmetically (see _build_cube_neighbor_map's
+    layout note): hi+dx, lo + dy*FIELD - r. `has` marks queries whose
+    candidate window is non-empty; the rest are batch/field-boundary
+    insertion artifacts whose p would otherwise drag the kernel's window
+    planning and spuriously trigger the far fallback."""
+    from .join import sorted_rank_match
+
+    r = k1 // 2
+    ncols = k1 * k1
+    cc = (ncols - 1) // 2
+    col_off = _offsets(k1).reshape(ncols, k1, 3)[:, 0, :2]
+    sel = [c for c in range(ncols) if c != cc]
+    dxy = np.asarray(col_off[sel], np.int32)
+    dhi = jnp.asarray(dxy[:, 0], jnp.int32)[:, None]
+    dlo = jnp.asarray(dxy[:, 1] * FIELD - r, jnp.int32)[:, None]
+    qh = jnp.where(valid[None, :], key_hi[None, :] + dhi, SENTINEL_HI)
+    ql = jnp.where(valid[None, :], key_lo[None, :] + dlo, SENTINEL_LO)
+    p, has = sorted_rank_match(
+        key_hi, key_lo, qh.reshape(-1), ql.reshape(-1), 2 * r)
+    cap = valid.shape[0]
+    return p.reshape(len(sel), cap), has.reshape(len(sel), cap)
+
+
+def _build_cube_kernel_map(coords, valid, key_hi, key_lo, k1: int,
+                           interpret: bool = False):
+    """Rank join + Pallas candidates kernel, with in-graph XLA fallback."""
+    from . import plan_kernel as pk
+
+    p, has = _column_ranks(valid, key_hi, key_lo, k1)
+    nbr, overflow = pk.cube_neighbor_map_kernel(
+        key_hi, key_lo, p, has, k1=k1, interpret=interpret)
+    return jax.lax.cond(
+        overflow > 0,
+        lambda _: _build_cube_neighbor_map(coords, valid, key_hi, key_lo, k1),
+        lambda _: nbr,
+        None,
+    )
 
 
 def _build_cube_neighbor_map(coords, valid, key_hi, key_lo, k1: int):

@@ -1,0 +1,309 @@
+"""Pallas candidates kernel for the column-decomposition rulebook build.
+
+The column decomposition (see `plan._build_cube_neighbor_map`) reduces the
+rulebook build to: one insertion-rank sort join for the (k^2-1) non-center
+(dx, dy) column shifts, then — for every query — reading the <= k consecutive
+table rows at its insertion point and key-diffing them into dz slots. The
+sort is cheap (28 ms at 262k voxels for k=5); the candidate reads are
+*monotone* gathers that XLA executes at ~7 ns/element (229 ms measured), and
+the negation-symmetry transpose is an XLA scatter (113 ms). This module does
+the candidate resolution for ALL columns (no transpose needed) in a Pallas
+kernel with the same windowed-VMEM monotone-gather machinery as
+`ops/fused_conv`:
+
+  * one DMA stages a W-row window of the (hi, lo) key table per 256-query
+    block (keys packed as an [8, cap] int32 array: row 0 = hi, row 1 = lo),
+  * per column, lane dynamic-gathers read the k candidate rows from a
+    128-aligned sub-window; key compares assign each to its dz slot,
+  * the center column needs no join: its candidates are the block's own
+    neighborhood rows,
+  * output is the full neighbor map in transposed [K8, cap] layout (the
+    host transposes once into the public [cap, K] order).
+
+Entries whose candidate run falls outside the sub-window are counted on the
+host; when any exist (never observed on real scans) the caller falls back to
+the XLA build via `lax.cond`.
+
+Replaces the per-offset sort-merge joins for full k^3 kernels: the k=5 stem
+join was 307 ms at 262k voxels; sort+kernel target is ~35 ms.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from .coords import FIELD, SENTINEL_HI, SENTINEL_LO
+
+# python-int copies for in-kernel use (the jnp module constants are device
+# values and would be captured as tracer constants by pallas_call)
+_SENT_HI = (1 << 31) - 1
+_SENT_LO = (1 << 31) - 1
+
+BLOCK = 256
+WINDOW = 2048
+# wider sub-windows than the conv kernel: insertion-rank spreads within a
+# block exceed true-neighbor spreads on a few blocks per scan (measured 2
+# far entries at SUBWIN=512, 13% fill); 768 keeps the t-loop at 6 tiles
+SUBWIN = 768
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _cube_offsets(k1: int) -> np.ndarray:
+    r = range(-(k1 // 2), k1 // 2 + 1)
+    return np.array(list(itertools.product(r, r, r)), dtype=np.int32)
+
+
+def _kernel(ws_ref, ss_ref, tbl_hbm, own_ref, rel_ref, o_ref, win, sem,
+            *, B, W, WK, K1, NC1, CC):
+    """One grid step resolves all columns' candidates for B queries.
+
+    ws_ref: [NB] window starts. ss_ref: [NB, NCpad] per-column sub-starts
+    (slot NC1 = center). own_ref: [8, B] block's own keys (rows 0, 1).
+    rel_ref: [NCpad, B] sub-window-relative candidate bases (-1 invalid;
+    slot NC1 = center base). Output: [K8, B] neighbor rows (-1 absent).
+    """
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        tbl_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[i], 128), W)], win, sem)
+    cp.start()
+    cp.wait()
+
+    r = K1 // 2
+    col_off = _cube_offsets(K1).reshape(K1 * K1, K1, 3)[:, 0, :2]
+
+    def resolve_column(c_slot, dhi, dlo, col_idx):
+        base = pl.multiple_of(ss_ref[i, c_slot], 128)
+        for cch in range(B // 128):
+            sl = slice(cch * 128, (cch + 1) * 128)
+            hi_own = own_ref[0:1, sl]
+            lo_own = own_ref[1:2, sl]
+            vld = hi_own != _SENT_HI
+            qh = jnp.where(vld, hi_own + dhi, _SENT_HI)
+            ql = jnp.where(vld, lo_own + dlo, _SENT_LO)
+            rel2 = rel_ref[c_slot:c_slot + 1, sl]  # [1, 128]
+            cands = [jnp.full((1, 128), -1, jnp.int32) for _ in range(K1)]
+            for m in range(K1):
+                relm = rel2 + m
+                div = relm >> 7
+                mod = relm & 127
+                chi = jnp.zeros((1, 128), jnp.int32)
+                clo = jnp.zeros((1, 128), jnp.int32)
+                idx8 = pltpu.repeat(mod, 8, axis=0)  # [8, 128]
+                dv8 = div
+                for t in range(WK // 128):
+                    tile = win[0:8, pl.ds(
+                        pl.multiple_of(base + t * 128, 128), 128)]
+                    part = jnp.take_along_axis(tile, idx8, axis=1)
+                    sel = dv8 == t
+                    chi = jnp.where(sel, part[0:1, :], chi)
+                    clo = jnp.where(sel, part[1:2, :], clo)
+                delta = clo - ql
+                ok = ((chi == qh) & vld & (rel2 >= 0)
+                      & (delta >= 0) & (delta <= 2 * r))
+                crow = ws_ref[i] + base + relm
+                for dz in range(K1):
+                    cands[dz] = jnp.where(
+                        ok & (delta == dz), crow, cands[dz])
+            for dz in range(K1):
+                row = col_idx * K1 + dz
+                o_ref[row:row + 1, sl] = cands[dz]
+
+    slot = 0
+    for col_idx in range(K1 * K1):
+        if col_idx == CC:
+            resolve_column(NC1, 0, -r, CC)
+            continue
+        dx, dy = int(col_off[col_idx, 0]), int(col_off[col_idx, 1])
+        # hi = b*FIELD + (x+OFF): +dx shifts x; lo = (y+OFF)*FIELD + (z+OFF)
+        resolve_column(slot, dx, dy * FIELD - r, col_idx)
+        slot += 1
+
+
+def plan_cube_prepare(key_hi, key_lo, p, has, k1: int, block: int,
+                      window: int, subwin: int):
+    """Host-side (XLA) prep: window starts, sub-starts, relative bases.
+
+    p/has: [nc1, cap] insertion ranks + has-match bits from
+    `sorted_rank_match` for the non-center columns (product order, center
+    skipped). No-match queries are excluded from the window mins AND from
+    the far count — their p are boundary artifacts that would otherwise
+    drag the sub-windows and fire the fallback on every real scan.
+    """
+    nc1, cap = p.shape
+    nb = cap // block
+    r = k1 // 2
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    valid_q = key_hi != SENTINEL_HI
+    # the center behaves like a column whose base candidate row is i - r
+    pc = jnp.clip(rows - r, 0, cap - 1)[None, :]
+    pall = jnp.concatenate([p, pc], axis=0)  # [nc, cap]
+    hall = jnp.concatenate([has, valid_q[None, :]], axis=0)
+    nc = nc1 + 1
+    ncpad = _round_up(nc, 8)
+
+    pb = jnp.where(hall, jnp.minimum(pall, cap - 1), cap - 1
+                   ).reshape(nc, nb, block)
+    hb = hall.reshape(nc, nb, block)
+    mins = jnp.min(jnp.where(hb, pb, cap - 1), axis=2)  # [nc, NB]
+    ws = jnp.clip(jnp.min(mins, axis=0), 0, max(cap - window, 0)
+                  ).astype(jnp.int32) & ~jnp.int32(127)
+    ss = jnp.clip(mins - ws[None, :], 0, window - subwin
+                  ).astype(jnp.int32) & ~jnp.int32(127)  # [nc, NB]
+    rel = (pb - (ws[None, :, None] + ss[:, :, None])).reshape(nc, cap)
+    near = (rel >= 0) & (rel <= subwin - k1)
+    relP = jnp.where(near & hall, rel, -1).astype(jnp.int32)
+    far_count = jnp.sum((hall & ~near).astype(jnp.int32))
+    relP = jnp.concatenate(
+        [relP, jnp.full((ncpad - nc, cap), -1, jnp.int32)], axis=0)
+    ss = jnp.concatenate(
+        [ss, jnp.zeros((ncpad - nc, nb), jnp.int32)], axis=0).T  # [NB, ncpad]
+    tbl = jnp.concatenate([
+        key_hi[None, :], key_lo[None, :],
+        jnp.zeros((6, cap), jnp.int32)], axis=0)  # [8, cap]
+    return ws, ss, relP, tbl, far_count
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "block", "window",
+                                             "subwin", "interpret"))
+def cube_neighbor_map_kernel(key_hi, key_lo, p, has, *, k1: int,
+                             block: int = BLOCK, window: int = WINDOW,
+                             subwin: int = SUBWIN, interpret: bool = False):
+    """([cap, k1^3] neighbor map, far_count) given insertion ranks p.
+
+    Out-of-subwindow runs are repaired exactly by `repair_far_pairs`;
+    overflow > 0 (more than REPAIR_CAP flagged pairs — never observed)
+    means the map is incomplete and the caller must fall back.
+    """
+    cap = key_hi.shape[0]
+    nb = cap // block
+    nc1 = p.shape[0]
+    ncpad = _round_up(nc1 + 1, 8)
+    kk = k1 ** 3
+    k8 = _round_up(kk, 8)
+    cc = (k1 * k1 - 1) // 2  # center column index
+
+    ws, ss, relP, tbl, far_count = plan_cube_prepare(
+        key_hi, key_lo, p, has, k1, block, window, subwin)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, block), lambda i, ws, ss: (0, i)),
+            pl.BlockSpec((ncpad, block), lambda i, ws, ss: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((k8, block), lambda i, ws, ss: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((8, window), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    nbrT = pl.pallas_call(
+        functools.partial(_kernel, B=block, W=window, WK=subwin, K1=k1,
+                          NC1=nc1, CC=cc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k8, cap), jnp.int32),
+        interpret=interpret,
+    )(ws, ss, tbl, tbl, relP)
+    rows_all = jnp.arange(cap, dtype=jnp.int32)
+    pc = jnp.clip(rows_all - (k1 // 2), 0, cap - 1)[None, :]
+    valid_q = (key_hi != _SENT_HI)[None, :]
+    p_ext = jnp.concatenate([p, pc], axis=0)
+    has_ext = jnp.concatenate([has, valid_q], axis=0)
+    nbr, overflow = repair_far_pairs(
+        nbrT[:kk].T, key_hi, key_lo, p_ext, has_ext, k1, block, ws, ss,
+        subwin)
+    return nbr, overflow
+
+
+def supported(cap: int, k1: int) -> bool:
+    return (_HAS_PLTPU and cap % BLOCK == 0 and cap >= WINDOW
+            and k1 in (3, 5))
+
+
+REPAIR_CAP = 64  # flagged (block, column) pairs repaired exactly in XLA
+
+
+def repair_far_pairs(nbr, key_hi, key_lo, p, has, k1: int, block: int,
+                     ws, ss, subwin: int):
+    """See below — operates on the EXTENDED column list (non-center columns
+    in product order + the center as the last pseudo-column, matching
+    plan_cube_prepare's pall/hall layout); the window clip at the array end
+    can push even center entries out of range (observed: the last row's
+    self-entry)."""
+    """Exact completion for (block, column) pairs with out-of-subwindow runs.
+
+    Far entries are structural: blocks straddling batch/x-slice key-space
+    discontinuities have bimodal insertion-rank clusters no single window
+    covers. They are few (boundary blocks only), so: flag pairs on a tiny
+    [nc, NB] grid, gather those pairs' candidates directly (XLA gathers,
+    bounded by REPAIR_CAP*block*k1 elements), and max-merge into the map.
+    Returns (nbr, overflow) — overflow > 0 means more than REPAIR_CAP pairs
+    (fallback needed; never observed).
+    """
+    nc, cap = p.shape  # nc = nc1 + 1 (center last)
+    nb = cap // block
+    r = k1 // 2
+    ncols = k1 * k1
+    cc = (ncols - 1) // 2
+    col_map = np.array([c for c in range(ncols) if c != cc] + [cc], np.int32)
+
+    pb = p.reshape(nc, nb, block)
+    hb = has.reshape(nc, nb, block)
+    rel = pb - (ws[None, :, None] + ss.T[:nc, :, None])
+    far = hb & ~((rel >= 0) & (rel <= subwin - k1))
+    fb = jnp.any(far, axis=2)  # [nc, NB]
+    n_far_pairs = jnp.sum(fb.astype(jnp.int32))
+    (pair_idx,) = jnp.nonzero(fb.reshape(-1), size=REPAIR_CAP, fill_value=-1)
+    overflow = jnp.maximum(n_far_pairs - REPAIR_CAP, 0)
+
+    c_j = jnp.where(pair_idx >= 0, pair_idx // nb, 0)
+    b_j = jnp.where(pair_idx >= 0, pair_idx % nb, 0)
+    rows = b_j[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+    pj = p[c_j[:, None], rows]  # [RC, block]
+    hj = has[c_j[:, None], rows] & (pair_idx >= 0)[:, None]
+    # query keys for these pairs
+    col_dxy = _cube_offsets(k1).reshape(ncols, k1, 3)[:, 0, :2]
+    dhi_np = col_dxy[col_map][:, 0].copy()
+    dlo_np = (col_dxy[col_map][:, 1] * FIELD - r).copy()
+    # center pseudo-column (last slot): its own-key window base is z - r
+    dhi_np[-1] = 0
+    dlo_np[-1] = -r
+    dhi_t = jnp.asarray(dhi_np, jnp.int32)
+    dlo_t = jnp.asarray(dlo_np, jnp.int32)
+    qh = key_hi[rows] + dhi_t[c_j][:, None]
+    ql = key_lo[rows] + dlo_t[c_j][:, None]
+    flat_col = jnp.asarray(col_map, jnp.int32)[c_j]  # real column index
+
+    out = nbr
+    for m in range(k1):
+        crow = jnp.clip(pj + m, 0, cap - 1)
+        chi = key_hi[crow]
+        clo = key_lo[crow]
+        delta = clo - ql
+        ok = hj & (chi == qh) & (delta >= 0) & (delta <= 2 * r)
+        # scatter into nbr[row, flat_col*k1 + delta]
+        kk = k1 ** 3
+        pos = jnp.where(
+            ok, rows * kk + flat_col[:, None] * k1 + delta, cap * kk)
+        out = out.reshape(-1).at[pos.reshape(-1)].max(
+            jnp.where(ok, crow, -1).reshape(-1), mode="drop").reshape(cap, kk)
+    return out, overflow

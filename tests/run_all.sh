@@ -1,14 +1,21 @@
 #!/usr/bin/env bash
-# Full test suite, split into two pytest processes.
+# Full test suite, split across several pytest processes.
 #
-# Running everything in ONE process segfaults this jaxlib's CPU compiler
-# partway through: after ~60 compile-heavy tests the 8-virtual-device pjit
-# compile of the multichip tests dies with SIGSEGV inside
-# backend_compile_and_load (reproducibly at the same spot; the same tests
-# pass cleanly in a fresh process). Until the jaxlib is fixed, run the
-# multichip tests in their own interpreter.
+# This jaxlib's CPU compiler segfaults inside backend_compile_and_load after
+# ~60-70 compile-heavy tests accumulate in one process (reproduced at
+# different tests on different runs; each passes in a fresh interpreter).
+# Until the jaxlib is fixed, run the suite in file chunks.
 set -e
 cd "$(dirname "$0")/.."
-python -m pytest tests/ -q --deselect tests/test_multichip.py \
-    --deselect tests/test_multichip_discover.py "$@"
-python -m pytest tests/test_multichip.py tests/test_multichip_discover.py -q "$@"
+
+run() { echo "== pytest $*"; python -m pytest -q "$@"; }
+
+run tests/test_algo.py tests/test_clustering_eval.py tests/test_coords.py \
+    tests/test_data_pipeline.py tests/test_losses.py tests/test_losses_zoo.py \
+    tests/test_schedule.py tests/test_visualize.py tests/test_native_voxelizer.py
+run tests/test_sparse_conv.py tests/test_gather_conv_vjp.py \
+    tests/test_fused_conv.py tests/test_pallas_gather.py tests/test_wrappers.py
+run tests/test_pretrain_e2e.py tests/test_finetune.py tests/test_cylinder3d.py \
+    tests/test_nuscenes.py tests/test_import_torch.py
+run tests/test_discover_e2e.py tests/test_nops.py tests/test_modules_and_config.py
+run tests/test_multichip.py tests/test_multichip_discover.py

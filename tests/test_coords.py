@@ -154,3 +154,30 @@ def test_cube_column_neighbor_map_matches_full_join():
         cols = P._build_cube_neighbor_map(lcoords, lvalid, uh, ul,
                                           round(len(offs) ** (1 / 3)))
         np.testing.assert_array_equal(np.asarray(cols), np.asarray(ref))
+
+
+def test_plan_kernel_interpret_matches_join():
+    """Rank-join + Pallas candidates kernel (+ far-pair repair) equals the
+    per-offset join, k=3 in interpret mode (k=5 is validated on hardware —
+    the 1000-op interpret compile is pathologically slow on CPU XLA)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.coords import encode_coords, sorted_unique, decode_keys, SENTINEL_HI
+    from gcdlss_tpu.ops import plan as P
+
+    rng = np.random.default_rng(23)
+    cap = 2048
+    pts = rng.integers(-14, 14, size=(2600, 3)).astype(np.int32)
+    b = rng.integers(0, 3, size=(2600, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(cap * 0.9)]
+    coords = np.zeros((cap, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((cap,), bool)
+    valid[: len(c)] = True
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inv, cnt = sorted_unique(hi, lo, cap)
+    lvalid = uh != SENTINEL_HI
+    lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
+    ref = P._join_offsets(lcoords, lvalid, uh, ul, P.KERNEL_OFFSETS_3, 32)
+    out = P._build_cube_kernel_map(lcoords, lvalid, uh, ul, 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
