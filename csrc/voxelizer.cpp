@@ -49,8 +49,7 @@ int64_t gcdlss_sparse_quantize(const float* points, int64_t n,
     return a.key < b.key || (a.key == b.key && a.idx < b.idx);
   });
   int64_t m = -1;
-  uint64_t prev = ~entries.empty() ? ~entries[0].key : 0;  // != first key
-  prev = entries.empty() ? 0 : entries[0].key + 1;
+  uint64_t prev = entries.empty() ? 0 : entries[0].key + 1;  // != first key
   for (int64_t s = 0; s < n; ++s) {
     const Entry& e = entries[s];
     if (s == 0 || e.key != prev) {

@@ -23,6 +23,10 @@ class VoxelBatchNp(NamedTuple):
     valid: np.ndarray  # [cap] bool
     scan_ids: np.ndarray  # [B] int32
     num_voxels: np.ndarray  # [B] int32 per-scan voxel counts (pre-truncation)
+    # original-scan point index of each voxel's representative (-1 pad):
+    # the cross-view identity the reference's SwaV intersection uses
+    # (`modules/exp.py:4997-5000` torch.isin over selected indices)
+    point_ids: np.ndarray = None
 
 
 class PointBatchNp(NamedTuple):
@@ -42,6 +46,7 @@ def collate_voxels(samples, cap: int, feat_dim: int = 1) -> VoxelBatchNp:
     mapped = np.full(cap, -1, np.int32)
     valid = np.zeros(cap, bool)
     counts = np.zeros(b, np.int32)
+    pids = np.full(cap, -1, np.int32)
     off = 0
     for i, s in enumerate(samples):
         m = s.voxel_coords.shape[0]
@@ -54,10 +59,11 @@ def collate_voxels(samples, cap: int, feat_dim: int = 1) -> VoxelBatchNp:
             labels[off : off + take] = s.voxel_labels[:take]
             mapped[off : off + take] = s.voxel_mapped_labels[:take]
             valid[off : off + take] = True
+            pids[off : off + take] = s.selected_idx[:take].astype(np.int32)
         off += take
     return VoxelBatchNp(
         coords, feats, labels, mapped, valid,
-        np.array([s.scan_idx for s in samples], np.int32), counts,
+        np.array([s.scan_idx for s in samples], np.int32), counts, pids,
     )
 
 

@@ -106,6 +106,11 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
     block = block or BLOCK
     window = window or WINDOW
     subwin = subwin or SUBWIN
+    # a window narrower than the sub-window would clip sub-starts with a
+    # negative upper bound and silently corrupt the conv output (env knobs
+    # GCDLSS_FUSED_WINDOW/SUBWIN are user-tunable)
+    assert window >= subwin, (
+        f"window ({window}) must be >= subwin ({subwin})")
     n, k = nbr.shape
     nb = n // block
     k8 = _round_up(k, 8)
@@ -393,10 +398,13 @@ def _fwd_geometry(cpad: int, co: int, k: int):
                 + k8 * cpad * co * 2            # wflat (resident)
                 + 2 * BLOCK * co * 4)           # out blocks
 
-    for w, nbuf in ((WINDOW, 2), (WINDOW, 1), (WINDOW // 2, 1)):
+    # the half-window fallbacks never go below SUBWIN (plan_windows asserts
+    # window >= subwin; see the backward path's equivalent clamp)
+    half = max(SUBWIN, WINDOW // 2)
+    for w, nbuf in ((WINDOW, 2), (WINDOW, 1), (half, 1)):
         if est(w, nbuf) <= 14 * 1024 * 1024:
             return w, nbuf == 2
-    return WINDOW // 2, False
+    return half, False
 
 
 @functools.partial(jax.jit,

@@ -55,10 +55,11 @@ _SENT_LO = (1 << 31) - 1
 
 BLOCK = 256
 WINDOW = 2048
-# wider sub-windows than the conv kernel: insertion-rank spreads within a
-# block exceed true-neighbor spreads on a few blocks per scan (measured 2
-# far entries at SUBWIN=512, 13% fill); 768 keeps the t-loop at 6 tiles
-SUBWIN = 768
+# sub-window: insertion-rank spreads within a block exceed true-neighbor
+# spreads on a few blocks per scan (measured 2 far entries at SUBWIN=512,
+# 13% fill — absorbed exactly by repair_far_pairs); 512 keeps the unrolled
+# tile loop at 4 tiles, which bounds the Mosaic compile time
+SUBWIN = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,7 +78,18 @@ def _kernel(ws_ref, ss_ref, tbl_hbm, own_ref, rel_ref, o_ref, win, sem,
     ws_ref: [NB] window starts. ss_ref: [NB, NCpad] per-column sub-starts
     (slot NC1 = center). own_ref: [8, B] block's own keys (rows 0, 1).
     rel_ref: [NCpad, B] sub-window-relative candidate bases (-1 invalid;
-    slot NC1 = center base). Output: [K8, B] neighbor rows (-1 absent).
+    slot NC1 = center base). Output: [NCOLS*8, B] neighbor rows (-1
+    absent): column col's dz slots live at rows col*8 + dz (rows
+    col*8 + K1 .. col*8 + 7 unused) — 8-aligned sublane blocks keep every
+    store a full-vreg write.
+
+    Body-size discipline (the Mosaic compile through this rig's remote
+    tunnel is superlinear in unrolled op count — the previous per-m gather
+    loop put the k=5 body at ~8.5k vector ops and >35 min of compile):
+    the K1 m-values live on SUBLANES (m = sublane index), so one
+    lane-gather per (tile, hi/lo) serves all m at once, and the per-tile
+    hi/lo rows are broadcast to 8 sublanes with one `pltpu.repeat` each,
+    hoisted out of the chunk loop.
     """
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(
@@ -87,43 +99,58 @@ def _kernel(ws_ref, ss_ref, tbl_hbm, own_ref, rel_ref, o_ref, win, sem,
 
     r = K1 // 2
     col_off = _cube_offsets(K1).reshape(K1 * K1, K1, 3)[:, 0, :2]
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)  # m = sublane
 
     def resolve_column(c_slot, dhi, dlo, col_idx):
         base = pl.multiple_of(ss_ref[i, c_slot], 128)
+        # hoisted per-column tiles: hi/lo rows broadcast across sublanes
+        tiles = []
+        for t in range(WK // 128):
+            tw = win[0:2, pl.ds(pl.multiple_of(base + t * 128, 128), 128)]
+            tiles.append((pltpu.repeat(tw[0:1], 8, axis=0),
+                          pltpu.repeat(tw[1:2], 8, axis=0)))
         for cch in range(B // 128):
             sl = slice(cch * 128, (cch + 1) * 128)
             hi_own = own_ref[0:1, sl]
             lo_own = own_ref[1:2, sl]
             vld = hi_own != _SENT_HI
-            qh = jnp.where(vld, hi_own + dhi, _SENT_HI)
-            ql = jnp.where(vld, lo_own + dlo, _SENT_LO)
+            qh8 = pltpu.repeat(
+                jnp.where(vld, hi_own + dhi, _SENT_HI), 8, axis=0)
+            ql8 = pltpu.repeat(
+                jnp.where(vld, lo_own + dlo, _SENT_LO), 8, axis=0)
             rel2 = rel_ref[c_slot:c_slot + 1, sl]  # [1, 128]
-            cands = [jnp.full((1, 128), -1, jnp.int32) for _ in range(K1)]
+            rel8 = pltpu.repeat(rel2, 8, axis=0)
+            relm8 = rel8 + m_iota  # [8, 128]
+            # qh8 != SENT recovers vld (guards sentinel-to-sentinel key
+            # "matches" on invalid rows); repeat() on i1 vregs is rejected
+            # by Mosaic, so the mask is derived from the int vectors
+            ok_base = (rel8 >= 0) & (qh8 != _SENT_HI)
+            div8 = relm8 >> 7
+            mod8 = relm8 & 127
+            accH = jnp.zeros((8, 128), jnp.int32)
+            accL = jnp.zeros((8, 128), jnp.int32)
+            for t in range(WK // 128):
+                tH, tL = tiles[t]
+                sel = div8 == t
+                accH = jnp.where(
+                    sel, jnp.take_along_axis(tH, mod8, axis=1), accH)
+                accL = jnp.where(
+                    sel, jnp.take_along_axis(tL, mod8, axis=1), accL)
+            delta8 = accL - ql8
+            ok8 = (ok_base & (accH == qh8)
+                   & (delta8 >= 0) & (delta8 <= 2 * r))
+            # fold validity into delta: -1 never equals a dz slot (and i1
+            # vregs cannot be repeat()ed on hardware)
+            dok8 = jnp.where(ok8, delta8, -1)
+            crow8 = ws_ref[i] + base + relm8
+            # dz resolution: res[dz, :] = crow of the m whose delta == dz
+            res = jnp.full((8, 128), -1, jnp.int32)
+            dz_iota = m_iota
             for m in range(K1):
-                relm = rel2 + m
-                div = relm >> 7
-                mod = relm & 127
-                chi = jnp.zeros((1, 128), jnp.int32)
-                clo = jnp.zeros((1, 128), jnp.int32)
-                idx8 = pltpu.repeat(mod, 8, axis=0)  # [8, 128]
-                dv8 = div
-                for t in range(WK // 128):
-                    tile = win[0:8, pl.ds(
-                        pl.multiple_of(base + t * 128, 128), 128)]
-                    part = jnp.take_along_axis(tile, idx8, axis=1)
-                    sel = dv8 == t
-                    chi = jnp.where(sel, part[0:1, :], chi)
-                    clo = jnp.where(sel, part[1:2, :], clo)
-                delta = clo - ql
-                ok = ((chi == qh) & vld & (rel2 >= 0)
-                      & (delta >= 0) & (delta <= 2 * r))
-                crow = ws_ref[i] + base + relm
-                for dz in range(K1):
-                    cands[dz] = jnp.where(
-                        ok & (delta == dz), crow, cands[dz])
-            for dz in range(K1):
-                row = col_idx * K1 + dz
-                o_ref[row:row + 1, sl] = cands[dz]
+                dm = pltpu.repeat(dok8[m:m + 1], 8, axis=0)
+                cm = pltpu.repeat(crow8[m:m + 1], 8, axis=0)
+                res = jnp.where(dm == dz_iota, cm, res)
+            o_ref[col_idx * 8:(col_idx + 1) * 8, sl] = res
 
     slot = 0
     for col_idx in range(K1 * K1):
@@ -196,8 +223,8 @@ def cube_neighbor_map_kernel(key_hi, key_lo, p, has, *, k1: int,
     nc1 = p.shape[0]
     ncpad = _round_up(nc1 + 1, 8)
     kk = k1 ** 3
-    k8 = _round_up(kk, 8)
-    cc = (k1 * k1 - 1) // 2  # center column index
+    ncols = k1 * k1
+    cc = (ncols - 1) // 2  # center column index
 
     ws, ss, relP, tbl, far_count = plan_cube_prepare(
         key_hi, key_lo, p, has, k1, block, window, subwin)
@@ -210,26 +237,28 @@ def cube_neighbor_map_kernel(key_hi, key_lo, p, has, *, k1: int,
             pl.BlockSpec((8, block), lambda i, ws, ss: (0, i)),
             pl.BlockSpec((ncpad, block), lambda i, ws, ss: (0, i)),
         ],
-        out_specs=pl.BlockSpec((k8, block), lambda i, ws, ss: (0, i)),
+        out_specs=pl.BlockSpec((ncols * 8, block), lambda i, ws, ss: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((8, window), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    nbrT = pl.pallas_call(
+    nbrT8 = pl.pallas_call(
         functools.partial(_kernel, B=block, W=window, WK=subwin, K1=k1,
                           NC1=nc1, CC=cc),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k8, cap), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((ncols * 8, cap), jnp.int32),
         interpret=interpret,
     )(ws, ss, tbl, tbl, relP)
+    # rows col*8 + dz -> flat product order col*K1 + dz
+    nbrT = nbrT8.reshape(ncols, 8, cap)[:, :k1].reshape(kk, cap)
     rows_all = jnp.arange(cap, dtype=jnp.int32)
     pc = jnp.clip(rows_all - (k1 // 2), 0, cap - 1)[None, :]
     valid_q = (key_hi != _SENT_HI)[None, :]
     p_ext = jnp.concatenate([p, pc], axis=0)
     has_ext = jnp.concatenate([has, valid_q], axis=0)
     nbr, overflow = repair_far_pairs(
-        nbrT[:kk].T, key_hi, key_lo, p_ext, has_ext, k1, block, ws, ss,
+        nbrT.T, key_hi, key_lo, p_ext, has_ext, k1, block, ws, ss,
         subwin)
     return nbr, overflow
 

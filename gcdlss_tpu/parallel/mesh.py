@@ -39,10 +39,18 @@ def shard_voxel_batch(vb: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 def shard_point_batch(pb: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Shard [S, P, ...] point buffers: along the scan axis when it divides
-    the mesh, else along the point axis (scans per step is often < devices)."""
+    the mesh, else along the point axis (scans per step is often < devices),
+    else replicate (jit re-shards internally; an indivisible point axis
+    would otherwise raise an opaque device_put error)."""
     n = mesh.devices.size
     nscans = next(iter(pb.values())).shape[0]
-    spec = P(axis) if nscans % n == 0 else P(None, axis)
+    npoints = next(iter(pb.values())).shape[1]
+    if nscans % n == 0:
+        spec = P(axis)
+    elif npoints % n == 0:
+        spec = P(None, axis)
+    else:
+        spec = P()
     s = NamedSharding(mesh, spec)
     return {k: jax.device_put(v, s) for k, v in pb.items()}
 

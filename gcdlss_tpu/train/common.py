@@ -45,13 +45,16 @@ class TrainState(struct.PyTreeNode):
 
 def voxel_batch_to_device(vb) -> dict:
     """VoxelBatchNp -> dict of jnp arrays."""
-    return {
+    out = {
         "coords": jnp.asarray(vb.coords),
         "feats": jnp.asarray(vb.feats),
         "labels": jnp.asarray(vb.labels),
         "mapped_labels": jnp.asarray(vb.mapped_labels),
         "valid": jnp.asarray(vb.valid),
     }
+    if getattr(vb, "point_ids", None) is not None:
+        out["point_ids"] = jnp.asarray(vb.point_ids)
+    return out
 
 
 def point_batch_to_device(pb) -> dict:

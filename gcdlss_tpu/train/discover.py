@@ -301,10 +301,14 @@ def discover_train_step(
     n_cand = jnp.sum(cand_mask.astype(jnp.int32))
     cand_cap = min(cfg.cand_cap, cap0)  # can't have more candidates than voxels
     # Divergence note: the reference clusters ALL candidates; we cluster a
-    # fixed-capacity subset (first cand_cap in plan order) so the step stays
-    # static-shaped. Overflow is surfaced via the `cand_overflow` metric —
-    # raise cfg.cand_cap if it is persistently non-zero.
-    order = jnp.argsort(~cand_mask, stable=True)
+    # fixed-capacity subset so the step stays static-shaped. The subset is
+    # taken in HASHED row order — plan order is coordinate-sorted, so a
+    # truncation in that order would keep only a low-x spatial corner of the
+    # scan. Overflow is surfaced via the `cand_overflow` metric — raise
+    # cfg.cand_cap if it is persistently non-zero.
+    rows0 = jnp.arange(cap0, dtype=jnp.int32)
+    h = (rows0 * jnp.int32(-1640531527)) & jnp.int32(0x07FFFFFF)
+    order = jnp.argsort(jnp.where(cand_mask, h, h + jnp.int32(1 << 27)))
     cand_rows = order[:cand_cap]
     cand_valid = jnp.arange(cand_cap) < jnp.minimum(n_cand, cand_cap)
     cand_feats = feats_t[cand_rows] * cand_valid[:, None]

@@ -170,6 +170,10 @@ def _sup_losses(cfg, params, out, targets, valid0, rng, step):
     entropy terms. Shared by the plain and Extra steps."""
     logits = assemble_dummy_logits(out)  # [N, K+1]
     K1 = cfg.num_labeled_classes + 1
+    # the reference concatenates mixed-feature rows into the batch BEFORE
+    # the calibration/entropy terms (`exp.py:1709-1735`), so mixed rows also
+    # receive the unknown-slot calibration; track the extended set here
+    ext_logits, ext_targets, ext_valid = logits, targets, valid0
     if cfg.mix_mode == "pairs":
         ratio = _mix_ratio(cfg, step)
         mixf, mixp, mixok = mix_features(
@@ -181,6 +185,11 @@ def _sup_losses(cfg, params, out, targets, valid0, rng, step):
             cross_entropy(logits, targets, valid0) * jnp.sum(valid0)
             + soft_cross_entropy(mix_logits, mixp, mixok) * jnp.sum(mixok)
         ) / jnp.maximum(jnp.sum(valid0) + jnp.sum(mixok), 1.0)
+        # hard target for the mixed rows = dominant mix component
+        mix_tgt = jnp.where(mixok, jnp.argmax(mixp, axis=-1), -1)
+        ext_logits = jnp.concatenate([logits, mix_logits], axis=0)
+        ext_targets = jnp.concatenate([targets, mix_tgt], axis=0)
+        ext_valid = jnp.concatenate([valid0, mixok], axis=0)
     elif cfg.mix_mode == "centroid":
         mixf, mixl, mixok = _centroid_mix(
             rng, out["feats"], targets, valid0 & (targets >= 0),
@@ -191,14 +200,17 @@ def _sup_losses(cfg, params, out, targets, valid0, rng, step):
             cross_entropy(logits, targets, valid0) * jnp.sum(valid0)
             + cross_entropy(mix_logits, mixl, mixok) * jnp.sum(mixok)
         ) / jnp.maximum(jnp.sum(valid0) + jnp.sum(mixok), 1.0)
+        ext_logits = jnp.concatenate([logits, mix_logits], axis=0)
+        ext_targets = jnp.concatenate([targets, mixl], axis=0)
+        ext_valid = jnp.concatenate([valid0, mixok], axis=0)
     else:
         seg = cross_entropy(logits, targets, valid0)
     calib = cfg.calib_coeff * calibration_loss(
-        logits, targets, cfg.unknown_label, valid0
+        ext_logits, ext_targets, cfg.unknown_label, ext_valid
     )
     loss = seg + calib
     if cfg.entropy_minimize:
-        loss = loss + _entropy_terms(cfg, logits, valid0)
+        loss = loss + _entropy_terms(cfg, ext_logits, ext_valid)
     return loss, logits, {"seg": seg, "calib": calib}
 
 

@@ -192,6 +192,13 @@ def _novel_branch(cfg: NopsConfig, dummy, feats, unsup_mask, queue, params, k_km
     rel_labels = jnp.clip(new_id[jnp.clip(assign, 0, nclu - 1)], 0, Ku - 1)
 
     # per-step Hungarian: novel-head argmax vs cluster label (`exp.py:5312-5330`)
+    # DIVERGENCE: the reference minimizes linear_sum_assignment over the raw
+    # confusion (`exp.py:5320`) — i.e. it picks the permutation the heads
+    # agree with LEAST — and then supervises with mapped argmax predictions
+    # (self-distilling its own argmax). Both look like bugs; here the
+    # assignment MAXIMIZES agreement and supervises with the mapped CLUSTER
+    # labels, which is the standard deep-cluster alignment (and what the
+    # Stage-2 module does, discover.py). Kept as an intentional fix.
     w3 = jax.lax.stop_gradient(params["final3"]["kernel"])
     b3 = jax.lax.stop_gradient(params["final3"]["bias"])
     novel_preds = jnp.argmax(cand_feats @ w3 + b3, axis=-1)
@@ -334,11 +341,14 @@ def swav_train_step(
     """ExpMixDiscoverSwaV: two augmented views, swapped novel supervision.
 
     Runnable realization of the broken reference loop (`exp.py:4763-4956`):
-    each view mines candidates and clusters them; view A's Hungarian-aligned
-    cluster labels supervise view B's novel head on the candidate rows (and
-    vice versa), approximating the swapped-prediction objective without the
-    per-point intersection bookkeeping (candidate sets differ per view; the
-    cross terms are gated by both views having novel candidates).
+    both views contain the SAME scans under independent augmentation draws
+    (the caller pairs the loaders; `swav_wrapper_ssl` calls `__getitem__`
+    twice per index, `utils/dataset_remission.py:2572-2599`). Each view
+    mines candidates and clusters them; candidates are then intersected
+    across views by original-point identity — the fixed-shape equivalent of
+    the reference's `torch.isin` over selected point indices
+    (`exp.py:4997-5000`) — and view X's novel logits are supervised by the
+    matched view-Y candidate's Hungarian-aligned cluster label.
     """
     model = make_model(cfg)
     tx = make_sgd(cfg, make_lr_schedule(cfg))
@@ -354,17 +364,27 @@ def swav_train_step(
         mapped0 = jnp.where(ok, mapped[safe], -1)
         valid0 = plan.levels[0].valid
         is_sup = ok & (plan.rep < cfg.sup_voxel_cap)
+        # cross-view identity per level-0 row: (scan-in-batch, original
+        # point index of the voxel representative); -1 where unavailable
+        pids = jnp.concatenate(
+            [svb["point_ids"], uvb["point_ids"]], axis=0
+        )
+        key_in = jnp.where(
+            valid & (pids >= 0), coords[:, 0] * (1 << 20) + pids, -1
+        )
+        key0 = jnp.where(ok, key_in[safe], -1)
         out, mut = model.apply(
             {"params": params, "batch_stats": bstats},
             plan, feats0, train=True, mutable=["batch_stats"],
         )
-        return out, mut, mapped0, valid0, is_sup & valid0, valid0 & ~is_sup
+        return (out, mut, mapped0, valid0, is_sup & valid0,
+                valid0 & ~is_sup, key0)
 
     def loss_fn(params):
-        out_a, mut_a, map_a, val_a, sup_a, uns_a = fwd(
+        out_a, mut_a, map_a, val_a, sup_a, uns_a, key_a = fwd(
             params, state.batch_stats, sup_vb, unsup_vb
         )
-        out_b, mut_b, map_b, val_b, sup_b, uns_b = fwd(
+        out_b, mut_b, map_b, val_b, sup_b, uns_b, key_b = fwd(
             params, mut_a["batch_stats"], sup_vb2, unsup_vb2
         )
         dummy_a = assemble_dummy_logits(out_a)
@@ -385,22 +405,34 @@ def swav_train_step(
         nb_b = _novel_branch(cfg, sg(dummy_b), out_b["feats"], uns_b,
                              state.queue, sg(params), k2)
 
-        # swapped prediction: view X's logits on ITS candidate rows vs view
-        # Y's aligned cluster labels on Y's candidate rows (same row budget)
-        def swap_term(nb_x, feats_x, nb_y, params):
+        # swapped prediction: view X's logits on ITS candidate rows vs the
+        # aligned cluster label of the SAME underlying point's candidate in
+        # view Y (identity join; unmatched candidates are ignored, like the
+        # reference's isin intersection)
+        def swap_term(nb_x, feats_x, key_x, nb_y, key_y, params):
             logits = (
                 sg(feats_x)[nb_x["cand_rows"]]
                 @ params["final3"]["kernel"] + params["final3"]["bias"]
             )
-            tgt = jnp.where(
-                nb_x["rel_mask"] & nb_y["rel_mask"], nb_y["mapped_novel"], -1
+            kx = jnp.where(
+                nb_x["rel_mask"], key_x[nb_x["cand_rows"]], -1)
+            ky = jnp.where(
+                nb_y["rel_mask"], key_y[nb_y["cand_rows"]],
+                jnp.iinfo(jnp.int32).max,
             )
+            order = jnp.argsort(ky)
+            ky_s = ky[order]
+            pos = jnp.clip(
+                jnp.searchsorted(ky_s, kx), 0, ky_s.shape[0] - 1)
+            m = jnp.where((ky_s[pos] == kx) & (kx >= 0), order[pos], -1)
+            tgt = jnp.where(
+                m >= 0, nb_y["mapped_novel"][jnp.maximum(m, 0)], -1)
             return cross_entropy(logits, tgt)
 
         g = (nb_a["has_novel"] & nb_b["has_novel"]).astype(jnp.float32)
         l_swav = cfg.novel_coeff * (
-            swap_term(nb_a, out_a["feats"], nb_b, params)
-            + swap_term(nb_b, out_b["feats"], nb_a, params)
+            swap_term(nb_a, out_a["feats"], key_a, nb_b, key_b, params)
+            + swap_term(nb_b, out_b["feats"], key_b, nb_a, key_a, params)
         )
         loss = l_sup + l_cal + g * l_swav
         metrics = {

@@ -36,6 +36,23 @@ _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 SEED = 1234
 
+
+def resolve_discover_overrides(module_name: str, dataset: str) -> dict:
+    """Merge-branch config resolution: registry recipe over dataset defaults.
+
+    Mirrors the reference CLI's substring dispatch of every
+    Merge/threshold/LiON/Sinkhorn variant (`/root/reference/main.py:172-293`)
+    as DiscoverConfig keyword overrides. Exposed at module level so tests can
+    assert each registry name resolves to the right configuration.
+    """
+    from gcdlss_tpu.train.discover import make_discover_config
+    from gcdlss_tpu.train.registry import resolve_module
+
+    stage, overrides = resolve_module(module_name)
+    if stage != "discover":
+        raise NameError(f"{module_name} is not a Merge/Discover module")
+    return make_discover_config(dataset, **overrides)
+
 parser = ArgumentParser()
 parser.add_argument("-s", "--split", default=1, type=int, required=False)
 parser.add_argument("--dataset", choices=["SemanticKITTI", "nuScenes"],
@@ -74,18 +91,21 @@ parser.add_argument("--voxel_cap", type=int, default=0)
 def main(args):
     import jax
 
-    from gcdlss_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache()
-
     # This image's sitecustomize force-registers the axon TPU plugin through
-    # jax.config, silently overriding the JAX_PLATFORMS env var — re-assert it
-    # so `JAX_PLATFORMS=cpu python main.py ...` works (CPU smoke runs).
+    # jax.config, silently overriding the JAX_PLATFORMS env var — re-assert
+    # it BEFORE anything touches a backend (enable_compile_cache calls
+    # jax.default_backend(), which would otherwise initialize the TPU even
+    # for `JAX_PLATFORMS=cpu python main.py ...` CPU smoke runs) and verify
+    # the pin took rather than swallowing failures.
     want = os.environ.get("JAX_PLATFORMS")
     if want and "axon" not in want:
-        try:
-            jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
+        jax.config.update("jax_platforms", want)
+        assert jax.default_backend() in want, (
+            f"requested JAX_PLATFORMS={want}, got {jax.default_backend()}"
+        )
+
+    from gcdlss_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from gcdlss_tpu.config import ExperimentConfig, load_config
     from gcdlss_tpu.data import (
@@ -388,12 +408,17 @@ def main(args):
                                           seed=1000 + epoch)
             losses = []
             if stage == "nops_swav":
+                # second view: SAME shuffle seeds -> same scans in the same
+                # order; each __getitem__ call draws augmentation fresh, so
+                # the two views are independent augmentations of the same
+                # scans (the reference's swav_wrapper_ssl calls the dataset
+                # twice per index, `utils/dataset_remission.py:2572-2599`)
                 lab2 = PrefetchLoader(lab_ds, nsc, half,
                                       num_workers=cfg.num_workers,
-                                      seed=2000 + epoch)
+                                      seed=epoch)
                 unlab2 = PrefetchLoader(unlab_ds, nsc, unsup_cap,
                                         num_workers=cfg.num_workers,
-                                        seed=3000 + epoch)
+                                        seed=1000 + epoch)
                 for sb, ub, sb2, ub2 in zip(lab_loader, unlab_loader, lab2, unlab2):
                     state, m = swav_train_step(
                         state, voxel_batch_to_device(sb["voxel"]),
@@ -422,11 +447,12 @@ def main(args):
         from gcdlss_tpu.train.modules import (
             ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive,
         )
-
         half = caps[0] // 2
-        threshold_mode = (
-            "fixed_prob" if "NCCAdaptive" not in cfg.module else "adaptive_logit"
-        )
+        # every Merge-family variant (threshold ablations, LiON, Sinkhorn
+        # assigner) is a config recipe on the same jitted step — resolve it
+        # from the registry like the reference's substring dispatch
+        # (`/root/reference/main.py:172-293`) resolves class names
+        discover_kw = resolve_discover_overrides(cfg.module, cfg.dataset)
         dcfg = DiscoverConfig(
             num_labeled_classes=space["num_labeled_classes"],
             num_unlabeled_classes=space["num_unlabeled_classes"],
@@ -439,7 +465,6 @@ def main(args):
             point_cap=point_cap,
             voxel_size=cfg.voxel_size,
             arch=cfg.arch,
-            threshold_mode=threshold_mode,
             lr=cfg.train_lr,
             momentum=cfg.momentum_for_optim,
             weight_decay=cfg.weight_decay_for_optim,
@@ -448,7 +473,7 @@ def main(args):
             min_lr=cfg.min_lr,
             epochs=cfg.epochs,
             steps_per_epoch=max(1, len(split_idx) // max(cfg.batch_size // 2, 1)),
-            **make_discover_config(cfg.dataset),
+            **discover_kw,
         )
         pretrained = None
         if cfg.pretrained:

@@ -17,6 +17,8 @@ from gcdlss_tpu.data import (
 from gcdlss_tpu.data.quantize_np import sparse_quantize_np
 from gcdlss_tpu.ops.voxelize import sparse_quantize
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def kitti_root(tmp_path_factory):

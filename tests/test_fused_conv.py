@@ -1,7 +1,7 @@
 """Fused windowed gather-GEMM conv (`ops/fused_conv`) vs `gather_conv` oracle.
 
-Runs the Pallas kernel in interpret mode on CPU (same policy as
-`test_pallas_gather.py`); the hardware path shares the traced program.
+Runs the Pallas kernel in interpret mode on CPU; the hardware path shares
+the traced program.
 """
 
 import numpy as np

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,8 @@ from gcdlss_tpu.losses import (
 )
 from gcdlss_tpu.train.lasermix import band_parity
 from gcdlss_tpu.data.augment import lasermix_masks
+
+pytestmark = pytest.mark.smoke
 
 
 def test_cross_entropy_matches_torch():

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,8 @@ from gcdlss_tpu.losses_zoo import (
     distill_loss,
 )
 from gcdlss_tpu.losses_lion import gambler_loss, energy_loss, crude_dynamic_energy_loss
+
+pytestmark = pytest.mark.smoke
 
 
 def test_loss_zoo_finite_and_sane():

@@ -65,3 +65,34 @@ def test_discover_module_fit(tmp_path):
     assert np.isfinite(rec["train/loss"])
     assert "valid/mIoU" in rec
     assert 0.0 <= rec["valid/mIoU"] <= 1.0
+
+
+def test_merge_registry_cli_resolution():
+    """Every discover-stage registry name resolves through main.py's Merge
+    branch to a DiscoverConfig whose fields match the registry recipe
+    (reference dispatches each variant by class name,
+    `/root/reference/main.py:172-293`)."""
+    import main as cli
+    from gcdlss_tpu.train.registry import MODULE_REGISTRY
+
+    for name, (stage, overrides) in MODULE_REGISTRY.items():
+        if stage != "discover":
+            continue
+        for dataset in ("SemanticKITTI", "nuScenes"):
+            kw = cli.resolve_discover_overrides(name, dataset)
+            cfg = DiscoverConfig(
+                num_labeled_classes=17, num_unlabeled_classes=2,
+                num_classes=19, unknown_label=17,
+                voxel_caps=(64,) * 5, sup_voxel_cap=32,
+                mix_voxel_caps=(64,) * 5, num_sup_scans=1, point_cap=64,
+                **kw,
+            )
+            for field, want in overrides.items():
+                assert getattr(cfg, field) == want, (name, field)
+            # dataset defaults survive unless overridden
+            if "calib_coeff" not in overrides:
+                assert cfg.calib_coeff == (
+                    0.1 if dataset == "nuScenes" else 0.05)
+
+    with pytest.raises(NameError):
+        cli.resolve_discover_overrides("ExpPretrain", "SemanticKITTI")

@@ -65,6 +65,9 @@ def _mk_voxel(rng, cap, nsc, voxel_size=0.1):
         "labels": jnp.asarray(rng.integers(0, 17, cap).astype(np.int32)),
         "mapped_labels": jnp.asarray(rng.integers(0, 17, cap).astype(np.int32)),
         "valid": jnp.ones((cap,), bool),
+        # per-row original-point identity (unique within scan): cross-view
+        # candidate intersection key for the SwaV step
+        "point_ids": jnp.asarray(np.arange(cap, dtype=np.int32)[order]),
     }
 
 
@@ -101,8 +104,12 @@ def test_swav_step():
     rng = np.random.default_rng(2)
     sup = _mk_voxel(rng, HALF, 2)
     unsup = _mk_voxel(rng, CAP - HALF, 2)
-    sup2 = _mk_voxel(rng, HALF, 2)
-    unsup2 = _mk_voxel(rng, CAP - HALF, 2)
+    # second view: same scans/points (same identities), fresh feature draw --
+    # two augmentation draws of the same data, like the paired loaders
+    sup2 = dict(sup, feats=jnp.asarray(
+        rng.uniform(0, 1, (HALF, 1)).astype(np.float32)))
+    unsup2 = dict(unsup, feats=jnp.asarray(
+        rng.uniform(0, 1, (CAP - HALF, 1)).astype(np.float32)))
     state = create_nops_state(jax.random.PRNGKey(2), cfg)
     state, m = swav_train_step(state, sup, unsup, sup2, unsup2, cfg)
     assert np.isfinite(float(m["loss"]))

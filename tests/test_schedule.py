@@ -1,11 +1,14 @@
 """Warmup-cosine schedule golden test vs the torch implementation the
 reference copies from lightning-bolts (utils/scheduler.py closed form)."""
 
+import pytest
 import math
 
 import numpy as np
 
 from gcdlss_tpu.train.schedule import warmup_cosine_lr
+
+pytestmark = pytest.mark.smoke
 
 
 def _torch_closed_form(epoch, base_lr, warmup_epochs, max_epochs,

@@ -1,7 +1,10 @@
+import pytest
 import numpy as np
 
 from gcdlss_tpu.utils.visualize import write_ply, read_ply, get_color
 from gcdlss_tpu.utils.misc import cluster_acc, AverageMeter
+
+pytestmark = pytest.mark.smoke
 
 
 def test_ply_roundtrip(tmp_path):
