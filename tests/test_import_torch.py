@@ -124,3 +124,77 @@ def test_import_random_reference_dict_changes_forward():
         jax.tree_util.tree_leaves_with_path(pb),
     ):
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_torch_oracle_executes_export():
+    """Executable-oracle test: a pure-torch reimplementation of the
+    reference backbone (tests/torch_oracle.py) consuming the exported
+    reference-shaped state dict reproduces the flax model's logits — for
+    BOTH kernel-offset enumeration conventions — and mixing conventions
+    breaks the match. This pins down every layout map in the importer
+    except ME's single enumeration-order bit (documented in
+    utils/import_torch.py)."""
+    import torch_oracle as TO
+
+    caps = (512, 512, 512, 256, 256)  # random coords pool poorly: no level
+    model = MinkUNetRC(num_labeled=5, num_novel=2, arch="MinkUNet14",
+                       planes=(8, 8, 8, 8, 8, 8, 8, 8))
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-8, 8, size=(900, 3))
+    c = np.unique(
+        np.concatenate(
+            [np.zeros((900, 1), np.int32),
+             np.floor(pts / 0.5).astype(np.int32)], axis=1,
+        ), axis=0,
+    )[: caps[0] - 32]
+    n = len(c)
+    coords = np.zeros((caps[0], 4), np.int32)
+    coords[:n] = c
+    valid = np.zeros((caps[0],), bool)
+    valid[:n] = True
+    plan = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), caps)
+    # capacity overflow would make the engine (correctly) drop voxels the
+    # oracle keeps — ensure the comparison is apples-to-apples
+    for lv, cp in zip(plan.levels, caps):
+        assert int(np.asarray(lv.valid).sum()) < cp
+    feats_np = rng.uniform(-1, 1, (caps[0], 1)).astype(np.float32)
+    feats_np[n:] = 0
+    variables = model.init(
+        jax.random.PRNGKey(3), plan, jnp.asarray(feats_np), train=False)
+
+    # randomize everything (incl. BN stats) so layout mistakes can't hide
+    def rnd(x):
+        return rng.normal(0, 0.4, x.shape).astype(np.float32)
+
+    params = jax.tree_util.tree_map(rnd, variables["params"])
+    bstats = jax.tree_util.tree_map(
+        lambda x: rng.uniform(0.5, 1.5, x.shape).astype(np.float32),
+        variables.get("batch_stats", {}),
+    )
+
+    out = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, bstats)},
+        plan, jnp.asarray(feats_np), train=False,
+    )
+    got = {
+        "final": np.asarray(out["logits_known"])[:n],
+        "final2": np.asarray(out["logits_ncc"])[:n],
+        "final3": np.asarray(out["logits_novel"])[:n],
+    }
+
+    for order in ("first_fastest", "last_fastest"):
+        sd = export_minkunet(params, bstats, me_order=order)
+        ref = TO.RefOracle(sd, layers=(1,) * 8, order=order)(
+            coords[:n], feats_np[:n])
+        for head in ("final", "final2", "final3"):
+            np.testing.assert_allclose(
+                got[head], ref[head].numpy(), rtol=1e-3, atol=2e-3,
+                err_msg=f"{order}/{head}",
+            )
+
+    # mixed conventions must NOT match (the permutation is load-bearing)
+    sd = export_minkunet(params, bstats, me_order="first_fastest")
+    ref = TO.RefOracle(sd, layers=(1,) * 8, order="last_fastest")(
+        coords[:n], feats_np[:n])
+    assert np.abs(got["final"] - ref["final"].numpy()).max() > 1e-2
