@@ -4,4 +4,5 @@ from .semantic_kitti import SemanticKITTIDataset, get_dataset
 from .collation import collate_batch, collate_voxels, collate_points, VoxelBatchNp, PointBatchNp
 from .loader import PrefetchLoader, cycle
 from .splits import ensure_split_file, generate_split_indices, load_split_indices
-from .synthetic import write_synthetic_kitti, synthetic_scan
+from .synthetic import (write_synthetic_kitti, synthetic_scan,
+                        write_learnable_kitti, synthetic_scan_learnable)
