@@ -6,3 +6,4 @@ from .metrics import (
     discovery_iou,
     SemanticEval,
 )
+from .sweep import threshold_sweep_test, DEFAULT_THRESHOLDS

@@ -22,7 +22,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import SparseConv, SparseDownConv, SparseUpConv, SparseBatchNorm, mask_rows
+from .layers import (SparseConv, SparseDownConv, SparseUpConv,
+                     SparseBatchNorm, NormedLinear, mask_rows)
 
 # name -> (block_type, layers). 'basic' expansion=1, 'bottleneck' expansion=4.
 ARCHS = {
@@ -189,13 +190,18 @@ class MinkUNetSeg(nn.Module):
     planes: tuple = DEFAULT_PLANES
     dtype: Any = jnp.float32
     remat: bool = False
+    head: str = "linear"  # "cosine" = MinkUNetBaseCosine (ExpCosinePretrain)
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
         h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
                              remat=self.remat, name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)  # heads + losses in f32
-        logits = nn.Dense(self.num_classes, name="final")(h)
+        if self.head == "cosine":
+            # cosine-prototype classifier (`multiheadminkunet.py:458-488`)
+            logits = NormedLinear(self.num_classes, name="final")(h)
+        else:
+            logits = nn.Dense(self.num_classes, name="final")(h)
         valid = plan.levels[0].valid
         return {
             "logits": mask_rows(logits, valid),
@@ -219,6 +225,9 @@ class MinkUNetRC(nn.Module):
     planes: tuple = DEFAULT_PLANES
     dtype: Any = jnp.float32
     remat: bool = False
+    head: str = "linear"  # "cosine" = MinkUNetRCCosine (ExpMixCosineFineTuning,
+    #                        `multiheadminkunet.py:490-522`, `exp.py:1758-1795`:
+    #                        cosine-prototype known + NCC heads)
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
@@ -226,10 +235,16 @@ class MinkUNetRC(nn.Module):
                              remat=self.remat, name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)
         valid = plan.levels[0].valid
+        if self.head == "cosine":
+            known = NormedLinear(self.num_labeled, name="final")(h)
+            ncc = NormedLinear(self.ncc_heads, name="final2")(h)
+        else:
+            known = nn.Dense(self.num_labeled, name="final")(h)
+            ncc = nn.Dense(self.ncc_heads, name="final2")(h)
         out = {
             "feats": h,
-            "logits_known": mask_rows(nn.Dense(self.num_labeled, name="final")(h), valid),
-            "logits_ncc": mask_rows(nn.Dense(self.ncc_heads, name="final2")(h), valid),
+            "logits_known": mask_rows(known, valid),
+            "logits_ncc": mask_rows(ncc, valid),
             "logits_novel": mask_rows(nn.Dense(self.num_novel, name="final3")(h), valid),
         }
         return out

@@ -41,6 +41,7 @@ class FineTuneConfig:
     in_channels: int = 1
     dtype: str = "float32"
     remat: bool = False
+    head: str = "linear"  # "cosine" = ExpMixCosineFineTuning (`exp.py:1758`)
     ncc_heads: int = 3
     calib_coeff: float = 0.05  # 0.15 for nuScenes (`exp.py:542-546`)
     # --- feature-mixing family (`exp.py:1306-1757`) ---
@@ -60,6 +61,14 @@ class FineTuneConfig:
     thr_schedule: str = "const"  # const | step | poly | linear
     thr_init: float = 0.1
     thr_end: float = 0.5
+    # unsup pseudo-label source (`finetune_extra_train_step`):
+    #   threshold  — NCC prob > thr over ALL unsup rows (`exp.py:2524-2534`)
+    #   rc_oracle  — ExpRCExtra (`exp.py:975-1112`): rows restricted to those
+    #                whose STORED unlabeled GT is the unknown label, target
+    #                unknown where NCC prob > thr else ignore
+    #   cluster    — ExpClusterFineTuning (`exp.py:1123-1306`): host DBSCAN ->
+    #                kmeans(K+1) -> Hungarian picks the unknown cluster
+    extra_mode: str = "threshold"
     lr: float = 1e-4  # finetune_lr
     momentum: float = 0.9
     weight_decay: float = 1e-4
@@ -79,6 +88,7 @@ def make_model(cfg: FineTuneConfig) -> MinkUNetRC:
         planes=cfg.planes,
         dtype=jnp.dtype(cfg.dtype),
         remat=cfg.remat,
+        head=cfg.head,
     )
 
 
@@ -146,9 +156,19 @@ def _centroid_mix(rng, feats, labels, valid, unknown_label: int):
 
 def _mixed_logits(cfg, params, mixf):
     """Mixed features through the raw final/final2 kernels
-    (`exp.py:1692-1707`: the reference reads `.kernel` directly)."""
-    kin = mixf @ params["final"]["kernel"] + params["final"]["bias"]
-    kout = mixf @ params["final2"]["kernel"] + params["final2"]["bias"]
+    (`exp.py:1692-1707`: the reference reads `.kernel` directly; the cosine
+    variant reads the prototype weights, `exp.py:1856-1871`)."""
+    if cfg.head == "cosine":
+        def cos(x, w, scale=10.0):  # NormedLinear: w is [ci, features]
+            xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            wn = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
+            return scale * (xn @ wn)
+
+        kin = cos(mixf, params["final"]["weight"])
+        kout = cos(mixf, params["final2"]["weight"])
+    else:
+        kin = mixf @ params["final"]["kernel"] + params["final"]["bias"]
+        kout = mixf @ params["final2"]["kernel"] + params["final2"]["bias"]
     return jnp.concatenate([kin, jnp.max(kout, axis=-1, keepdims=True)], axis=-1)
 
 
@@ -266,6 +286,73 @@ def _threshold(cfg: FineTuneConfig, step):
     return jnp.asarray(a, jnp.float32)
 
 
+def _cluster_unknown_mask_host(coords, unsup, feats, probs_known):
+    """ExpClusterFineTuning's pseudo-unknown mining (`exp.py:1206-1296`):
+    per unlabeled scan, DBSCAN(eps=3, min_samples=2) on voxel coords ->
+    kmeans(K+1) over cluster-mean input features (noise points assigned by
+    the same fitted kmeans — the reference re-fits a second kmeans on noise
+    and merges by cluster id, which presumes index alignment and raises
+    otherwise; predicting with the fitted model realizes the same intent
+    without that crash path) -> Hungarian between cluster-mean class
+    probabilities and classes; points of the cluster matched to the unknown
+    column become pseudo-unknown."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    from ..algo.dbscan import dbscan
+
+    coords = np.asarray(coords)
+    unsup = np.asarray(unsup)
+    feats = np.asarray(feats, np.float64)
+    probs_known = np.asarray(probs_known, np.float64)
+    K = probs_known.shape[1]
+    mask = np.zeros(coords.shape[0], bool)
+    for b in np.unique(coords[unsup, 0]) if unsup.any() else []:
+        rows = np.flatnonzero(unsup & (coords[:, 0] == b))
+        if rows.size < (K + 1) * 2:
+            continue
+        db = dbscan(coords[rows, 1:].astype(np.float64), eps=3, min_samples=2)
+        ncl = int(db.max()) + 1
+        if ncl < K + 1:
+            continue
+        cm = np.zeros((ncl, feats.shape[1]))
+        cnt = np.zeros(ncl)
+        core = db >= 0
+        np.add.at(cm, db[core], feats[rows[core]])
+        np.add.at(cnt, db[core], 1.0)
+        cm /= np.maximum(cnt, 1.0)[:, None]
+        try:
+            from sklearn.cluster import KMeans
+
+            km = KMeans(n_clusters=K + 1, n_init="auto", random_state=0).fit(cm)
+            assign, cents = km.labels_, km.cluster_centers_
+        except ImportError:  # pragma: no cover - numpy Lloyd fallback
+            rng = np.random.default_rng(0)
+            cents = cm[rng.choice(ncl, K + 1, replace=False)]
+            for _ in range(25):
+                d = ((cm[:, None] - cents[None]) ** 2).sum(-1)
+                assign = d.argmin(1)
+                for c in range(K + 1):
+                    if (assign == c).any():
+                        cents[c] = cm[assign == c].mean(0)
+        point_k = np.full(rows.size, -1, np.int64)
+        point_k[core] = assign[db[core]]
+        if (~core).any():
+            dn = ((feats[rows[~core]][:, None] - cents[None]) ** 2).sum(-1)
+            point_k[~core] = dn.argmin(1)
+        P = np.zeros((K + 1, K + 1))
+        for c in range(K + 1):
+            sel = point_k == c
+            if sel.any():
+                P[c, :K] = probs_known[rows[sel]].mean(0)
+        np.nan_to_num(P, copy=False)
+        r_ind, c_ind = linear_sum_assignment(P, maximize=True)
+        for ri, ci in zip(r_ind, c_ind):
+            if ci == K:
+                mask[rows[point_k == ri]] = True
+    return mask
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def finetune_extra_train_step(
     state: TrainState, sup_vb: dict, unsup_vb: dict, cfg: FineTuneConfig
@@ -301,13 +388,37 @@ def finetune_extra_train_step(
         loss, logits, parts = _sup_losses(
             cfg, params, out, sup_targets, sup_mask, rng, state.step
         )
-        # unsup pseudo-label CE: argmax, forced to the unknown slot where
-        # NCC prob exceeds the scheduled threshold (`exp.py:2524-2534`)
         probs = jax.nn.softmax(jax.lax.stop_gradient(logits), axis=-1)
-        pseudo = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        pseudo = jnp.where(probs[:, -1] > thr, cfg.unknown_label, pseudo)
-        pseudo = jnp.where(unsup_mask, pseudo, -1)
-        l_unsup = cfg.unsup_coeff * cross_entropy(logits, pseudo, unsup_mask)
+        if cfg.extra_mode == "rc_oracle":
+            # ExpRCExtra (`exp.py:1087-1100`): only rows whose STORED
+            # unlabeled GT is the unknown label participate; target unknown
+            # where NCC prob > thr, ignored otherwise
+            novel_rows = unsup_mask & (mapped0 == cfg.unknown_label)
+            pseudo = jnp.where(probs[:, -1] > thr, cfg.unknown_label, -1)
+            pseudo = jnp.where(novel_rows, pseudo, -1)
+            l_unsup = cfg.unsup_coeff * cross_entropy(logits, pseudo, novel_rows)
+        elif cfg.extra_mode == "cluster":
+            # ExpClusterFineTuning (`exp.py:1206-1300`): host DBSCAN +
+            # kmeans + Hungarian pick the pseudo-unknown cluster. Targets of
+            # unmasked unsup rows are ZERO (class 0) exactly as the
+            # reference's `torch.zeros` targets — intentionally faithful.
+            cmask = jax.pure_callback(
+                _cluster_unknown_mask_host,
+                jax.ShapeDtypeStruct((coords.shape[0],), jnp.bool_),
+                coords, unsup_mask, feats0,
+                probs[:, : cfg.num_labeled_classes],
+                vmap_method="sequential",
+            )
+            pseudo = jnp.where(cmask, cfg.unknown_label, 0).astype(jnp.int32)
+            pseudo = jnp.where(unsup_mask, pseudo, -1)
+            l_unsup = cfg.unsup_coeff * cross_entropy(logits, pseudo, unsup_mask)
+        else:
+            # unsup pseudo-label CE: argmax, forced to the unknown slot where
+            # NCC prob exceeds the scheduled threshold (`exp.py:2524-2534`)
+            pseudo = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            pseudo = jnp.where(probs[:, -1] > thr, cfg.unknown_label, pseudo)
+            pseudo = jnp.where(unsup_mask, pseudo, -1)
+            l_unsup = cfg.unsup_coeff * cross_entropy(logits, pseudo, unsup_mask)
         loss = loss + l_unsup
         parts = {**parts, "unsup_seg": l_unsup, "thr": thr}
         return loss, (mut, parts)

@@ -40,6 +40,7 @@ class PretrainConfig:
     in_channels: int = 1
     dtype: str = "float32"  # activation dtype: "bfloat16" on TPU
     remat: bool = False
+    head: str = "linear"  # "cosine" = ExpCosinePretrain (`exp.py:493-499`)
     lr: float = 1e-2
     momentum: float = 0.9
     weight_decay: float = 1e-4
@@ -53,7 +54,7 @@ class PretrainConfig:
 def make_model(cfg: PretrainConfig) -> MinkUNetSeg:
     return MinkUNetSeg(
         num_classes=cfg.num_labeled_classes, arch=cfg.arch, planes=cfg.planes,
-        dtype=jnp.dtype(cfg.dtype), remat=cfg.remat,
+        dtype=jnp.dtype(cfg.dtype), remat=cfg.remat, head=cfg.head,
     )
 
 

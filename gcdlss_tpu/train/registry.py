@@ -71,6 +71,27 @@ MODULE_REGISTRY: dict = {
     ),
     # ---- unlabeled-scan uncertainty ranking (exp.py:2799) ----
     "ExpUncertaintyCheck": ("uncertainty", {}),
+    # ---- cosine-classifier variants (exp.py:493, 1758) ----
+    "ExpCosinePretrain": ("pretrain", dict(head="cosine")),
+    "ExpMixCosineFineTuning": (
+        "finetune", dict(mix_mode="pairs", head="cosine")
+    ),
+    # ---- RC-extra with stored-unlabeled-GT novel rows (exp.py:975-1112) ----
+    "ExpRCExtra": (
+        "finetune_extra",
+        dict(extra_mode="rc_oracle", unsup_coeff=0.2, calib_coeff=0.01,
+             thr_init=0.21, thr_schedule="const"),
+    ),
+    # ---- DBSCAN+kmeans pseudo-unknown mining (exp.py:1123-1306) ----
+    "ExpClusterFineTuning": (
+        "finetune_extra", dict(extra_mode="cluster", unsup_coeff=0.1)
+    ),
+    # ---- test-only threshold sweeps (exp.py:3000-3290) ----
+    "ExpRCTest": ("finetune_test", dict(mix_mode="pairs")),
+    "ExpMixExtraTest": (
+        "finetune_test",
+        dict(mix_mode="pairs", entropy_minimize=True, subdivide_novel=True),
+    ),
 }
 
 

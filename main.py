@@ -142,7 +142,12 @@ def main(args):
     )
     split_idx = load_split_indices(split_path)
 
-    if cfg.module == "ExpPretrain":
+    # module-name -> (loop recipe, config overrides), like the reference's
+    # substring dispatch over experiment classes (`main.py:172-293`)
+    from gcdlss_tpu.train.registry import resolve_module
+    recipe, mod_overrides = resolve_module(cfg.module)
+
+    if recipe == "pretrain":
         from gcdlss_tpu.train.pretrain import PretrainConfig, ExpPretrain
 
         pcfg = PretrainConfig(
@@ -159,6 +164,7 @@ def main(args):
             min_lr=cfg.min_lr,
             epochs=cfg.epochs,
             steps_per_epoch=max(1, len(split_idx) // cfg.batch_size),
+            **mod_overrides,
         )
         module = ExpPretrain(pcfg, space["label_mapping"], space["label_mapping_inv"])
         train_ds = ds_cls(
@@ -212,26 +218,25 @@ def main(args):
             os.path.join(cfg.checkpoint_dir, cfg.experiment), module.state.params
         )
 
-    elif "FineTuning" in cfg.module or cfg.module == "ExpUncertaintyCheck":
+    elif recipe in ("finetune", "finetune_extra", "finetune_test",
+                    "uncertainty"):
         # Stage 1.5 family: NCC-head calibration + mixing/scheduling ablations
-        # (`modules/exp.py:505-687,1306-2798`) and the uncertainty ranking
-        # module (`exp.py:2799-2998`)
+        # (`modules/exp.py:505-687,1306-2798`), the uncertainty ranking
+        # module (`exp.py:2799-2998`), and the test-only threshold sweeps
+        # (`exp.py:3000-3290`)
         from gcdlss_tpu.train.finetune import (
             FineTuneConfig, create_finetune_state, finetune_train_step,
             finetune_extra_train_step,
         )
-        from gcdlss_tpu.train.registry import resolve_module
         from gcdlss_tpu.train.common import voxel_batch_to_device
 
-        recipe, overrides = resolve_module(cfg.module)
+        overrides = dict(mod_overrides)
+        subdivide_novel = overrides.pop("subdivide_novel", False)
         half = caps[0] // 2
         if recipe == "finetune_extra":
-            overrides = dict(
-                sup_voxel_cap=half,
-                num_sup_scans=max(cfg.batch_size // 2, 1),
-                **overrides,
-            )
-        fcfg = FineTuneConfig(
+            overrides.setdefault("sup_voxel_cap", half)
+            overrides.setdefault("num_sup_scans", max(cfg.batch_size // 2, 1))
+        fkw = dict(
             num_labeled_classes=space["num_labeled_classes"],
             num_classes=space["num_classes"],
             unknown_label=space["unknown_label"],
@@ -246,8 +251,9 @@ def main(args):
             min_lr=cfg.min_lr,
             epochs=cfg.epochs,
             steps_per_epoch=max(1, len(split_idx) // cfg.batch_size),
-            **overrides,
         )
+        fkw.update(overrides)  # registry recipe wins (e.g. ExpRCExtra 0.01)
+        fcfg = FineTuneConfig(**fkw)
         pretrained = None
         if cfg.pretrained:
             from gcdlss_tpu.train.pretrain import PretrainConfig, create_pretrain_state
@@ -286,6 +292,49 @@ def main(args):
             )
             print(f"ranked {len(order)} unlabeled scans -> {out_file}; "
                   f"most uncertain: {order[:10].tolist()}")
+            return
+
+        if recipe == "finetune_test":
+            # ExpRCTest / ExpMixExtraTest: restore a fine-tuned model and
+            # sweep NCC thresholds over the validation split
+            # (`exp.py:3000-3290`)
+            from gcdlss_tpu.eval.sweep import threshold_sweep_test
+
+            mgr = CheckpointManager(
+                os.path.join(cfg.checkpoint_dir, cfg.experiment))
+            src = CheckpointManager(cfg.checkpoint) if cfg.checkpoint else mgr
+            restored = src.restore(state)
+            if restored is not None:
+                state = restored
+            elif cfg.checkpoint:
+                raise FileNotFoundError(
+                    f"--checkpoint {cfg.checkpoint} has no restorable step"
+                )
+            else:
+                print("WARNING: sweep test without --checkpoint; "
+                      "evaluating the fresh (untrained) model.")
+            val_ds = ds_cls(
+                cfg.dataset_path, "valid", voxel_size=cfg.voxel_size,
+                label_mapping=space["label_mapping"],
+                unknown_labels=space["unknown_labels"],
+            )
+            if cfg.debug:
+                val_ds.num_files = min(val_ds.num_files, 50)
+            known_real = [k for k, v in space["label_mapping"].items()
+                          if v != space["unknown_label"]]
+            unknown_real = [k for k, v in space["label_mapping"].items()
+                            if v == space["unknown_label"]]
+            res = threshold_sweep_test(
+                state.params, state.batch_stats, val_ds, fcfg,
+                space["label_mapping_inv"], known_real, unknown_real,
+                subdivide=subdivide_novel, num_workers=cfg.num_workers,
+                point_cap=point_cap,
+            )
+            for t, r in sorted(res.items()):
+                print(f"threshold {t}: mIoU={r['mIoU']:.4f} "
+                      f"old={r['mIoU_old']:.4f} new={r['mIoU_new']:.4f}")
+                logger.log_dict(
+                    {f"threshold{t}-valid/{k}": v for k, v in r.items()}, 0)
             return
 
         # 'finetuning' dataset type = REAL-aug labeled scans
@@ -341,15 +390,14 @@ def main(args):
             os.path.join(cfg.checkpoint_dir, cfg.experiment), state.params
         )
 
-    elif cfg.module in ("ExpDiscover", "ExpMixDiscoverJoint", "ExpMixDiscoverSwaV"):
+    elif recipe in ("nops", "nops_swav"):
         # NOPS-style single-model discovery loops (`exp.py:5050,4452,4680`)
-        from gcdlss_tpu.train.registry import MODULE_REGISTRY
         from gcdlss_tpu.train.nops import (
             NopsConfig, create_nops_state, nops_train_step, swav_train_step,
         )
         from gcdlss_tpu.train.common import voxel_batch_to_device
 
-        stage, overrides = MODULE_REGISTRY[cfg.module]
+        stage, overrides = recipe, mod_overrides
         half = caps[0] // 2
         ncfg = NopsConfig(
             num_labeled_classes=space["num_labeled_classes"],
@@ -442,7 +490,7 @@ def main(args):
             os.path.join(cfg.checkpoint_dir, cfg.experiment), state.params
         )
 
-    elif "MergeDiscover" in cfg.module or "Merge" in cfg.module:
+    elif recipe == "discover":
         from gcdlss_tpu.train.discover import DiscoverConfig, make_discover_config
         from gcdlss_tpu.train.modules import (
             ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive,

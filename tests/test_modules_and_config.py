@@ -96,3 +96,24 @@ def test_merge_registry_cli_resolution():
 
     with pytest.raises(NameError):
         cli.resolve_discover_overrides("ExpPretrain", "SemanticKITTI")
+
+
+@pytest.mark.smoke
+def test_new_ablation_registry_names():
+    """Round-3 inventory tail: the remaining reference ablation classes
+    resolve to the right recipes (`exp.py:493,975,1123,1758,3000,3150`)."""
+    from gcdlss_tpu.train.registry import resolve_module
+
+    assert resolve_module("ExpCosinePretrain") == (
+        "pretrain", dict(head="cosine"))
+    recipe, kw = resolve_module("ExpMixCosineFineTuning")
+    assert recipe == "finetune" and kw["head"] == "cosine"
+    recipe, kw = resolve_module("ExpRCExtra")
+    assert recipe == "finetune_extra" and kw["extra_mode"] == "rc_oracle"
+    assert kw["calib_coeff"] == 0.01 and kw["unsup_coeff"] == 0.2
+    recipe, kw = resolve_module("ExpClusterFineTuning")
+    assert recipe == "finetune_extra" and kw["extra_mode"] == "cluster"
+    recipe, kw = resolve_module("ExpRCTest")
+    assert recipe == "finetune_test" and not kw.get("subdivide_novel")
+    recipe, kw = resolve_module("ExpMixExtraTest")
+    assert recipe == "finetune_test" and kw["subdivide_novel"]
