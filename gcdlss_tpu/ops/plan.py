@@ -146,18 +146,20 @@ def build_neighbor_map(
         # outside its sub-window (never observed on real scans).
         from . import plan_kernel as pk
 
-        # default OFF this round: the k5 kernel's Mosaic compile takes
-        # tens of minutes through this rig's remote-compile tunnel (1500
-        # unrolled gather bodies), which would blow the driver's bench
-        # budget on a cold cache. k3 is hardware-validated (83 -> 49 ms at
-        # 262k); enable with GCDLSS_PLAN_KERNEL=1 once the cache is primed.
+        # GCDLSS_PLAN_KERNEL: "2" = boundary-rank planning + in-kernel
+        # two-level count (no per-query sort join, see plan_kernel.py v2
+        # section); "1" = v1 (exact per-query rank join feeding the
+        # kernel); "0" = off (XLA sort-merge joins). Default flips to "2"
+        # once the v2 kernel is hardware-validated and cache-primed.
+        mode = os.environ.get("GCDLSS_PLAN_KERNEL", "0")
         use_kernel = (
-            os.environ.get("GCDLSS_PLAN_KERNEL", "0") == "1"
+            mode in ("1", "2")
             and pk.supported(cap, k1)
             and jax.default_backend() == "tpu"
         )
         if use_kernel:
-            return _build_cube_kernel_map(coords, valid, key_hi, key_lo, k1)
+            return _build_cube_kernel_map(
+                coords, valid, key_hi, key_lo, k1, version=int(mode))
         if os.environ.get("GCDLSS_PLAN_COLUMNS", "0") == "1":
             # XLA-only column build: cuts sort volume 5x but XLA executes
             # the candidate gathers + transpose scatter at ~7 ns/element —
@@ -205,13 +207,17 @@ def _column_ranks(valid, key_hi, key_lo, k1: int):
 
 
 def _build_cube_kernel_map(coords, valid, key_hi, key_lo, k1: int,
-                           interpret: bool = False):
+                           interpret: bool = False, version: int = 2):
     """Rank join + Pallas candidates kernel, with in-graph XLA fallback."""
     from . import plan_kernel as pk
 
-    p, has = _column_ranks(valid, key_hi, key_lo, k1)
-    nbr, overflow = pk.cube_neighbor_map_kernel(
-        key_hi, key_lo, p, has, k1=k1, interpret=interpret)
+    if version == 2:
+        nbr, overflow = pk.cube_neighbor_map_kernel_v2(
+            key_hi, key_lo, valid, k1=k1, interpret=interpret)
+    else:
+        p, has = _column_ranks(valid, key_hi, key_lo, k1)
+        nbr, overflow = pk.cube_neighbor_map_kernel(
+            key_hi, key_lo, p, has, k1=k1, interpret=interpret)
     return jax.lax.cond(
         overflow > 0,
         lambda _: _build_cube_neighbor_map(coords, valid, key_hi, key_lo, k1),

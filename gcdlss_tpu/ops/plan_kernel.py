@@ -268,6 +268,323 @@ def supported(cap: int, k1: int) -> bool:
             and k1 in (3, 5))
 
 
+# --------------------------------------------------------------------------
+# v2: boundary-rank planning + in-kernel two-level count
+#
+# v1 computes an exact insertion rank for EVERY (query, column) pair with one
+# (k^2)·cap-row sort join (`sorted_rank_match`) — 45 of the 49 ms of the k=3
+# map at 262k voxels. v2 exploits that each column's query sequence is the
+# sorted table shifted by a constant (hence itself sorted): insertion ranks
+# are monotone within a block, so ranks of the nb+1 BLOCK-BOUNDARY queries
+# bracket every rank inside. The sort volume drops from (k^2-1)·cap to
+# cap + (k^2-1)·nb rows (~256x fewer queries), window planning runs on
+# [nc, nb] instead of [nc, cap] arrays, and the kernel recovers each query's
+# exact rank inside its 512-entry sub-window with a two-level strided count
+# (stride 32 -> stride 4) over the already-hoisted VMEM tiles. The stride-4
+# bracket costs no extra gather: candidates live at base + m for
+# m in 0..k1+2 <= 7, which the existing 8-sublane gather already fetches.
+# --------------------------------------------------------------------------
+
+
+def _column_shifts(k1: int):
+    """dhi/dlo per non-center column (product order), center excluded."""
+    r = k1 // 2
+    ncols = k1 * k1
+    cc = (ncols - 1) // 2
+    col_off = _cube_offsets(k1).reshape(ncols, k1, 3)[:, 0, :2]
+    sel = [c for c in range(ncols) if c != cc]
+    dxy = np.asarray(col_off[sel], np.int32)
+    return (np.ascontiguousarray(dxy[:, 0]),
+            np.ascontiguousarray(dxy[:, 1] * FIELD - r))
+
+
+def boundary_ranks(valid, key_hi, key_lo, k1: int, block: int):
+    """[nc1, nb+1] insertion ranks of each column's block-boundary queries
+    (bnd[c, nb] = number of valid rows: every rank is < that)."""
+    from .join import sorted_rank
+
+    cap = valid.shape[0]
+    nb = cap // block
+    dhi_np, dlo_np = _column_shifts(k1)
+    dhi = jnp.asarray(dhi_np, jnp.int32)[:, None]
+    dlo = jnp.asarray(dlo_np, jnp.int32)[:, None]
+    rows = jnp.arange(nb, dtype=jnp.int32) * block
+    v = valid[rows][None, :]
+    qh = jnp.where(v, key_hi[rows][None, :] + dhi, SENTINEL_HI)
+    ql = jnp.where(v, key_lo[rows][None, :] + dlo, SENTINEL_LO)
+    p = sorted_rank(key_hi, key_lo, qh.reshape(-1), ql.reshape(-1))
+    nc1 = dhi_np.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return jnp.concatenate(
+        [p.reshape(nc1, nb),
+         jnp.broadcast_to(n_valid, (nc1, 1)).astype(jnp.int32)], axis=1)
+
+
+def plan_cube_prepare_v2(key_hi, key_lo, bnd, k1: int, block: int,
+                         window: int, subwin: int):
+    """Window starts / per-column sub-starts / far flags from boundary
+    ranks only (all [nc, nb]-sized — no per-query arrays).
+
+    A (column, block) pair is flagged far when its bracketed rank span
+    [bnd(c,b), bnd(c,b+1)+k1-1] does not fit the 128-aligned sub-window;
+    flagged pairs are completed exactly by `repair_far_pairs_v2`.
+    """
+    cap = key_hi.shape[0]
+    nb = cap // block
+    r = k1 // 2
+    nc1 = bnd.shape[0]
+    nc = nc1 + 1
+    ncpad = _round_up(nc, 8)
+
+    blocks = jnp.arange(nb, dtype=jnp.int32)
+    n_valid = bnd[0, nb]
+    # center pseudo-column: base candidate row of query i is i - r; only
+    # valid rows (the first n_valid — sentinels sort last) need coverage
+    bnd_c = jnp.clip(blocks * block - r, 0, n_valid)[None, :]
+    lo_all = jnp.concatenate([bnd[:, :nb], bnd_c], axis=0)  # [nc, nb]
+    hi_all = jnp.concatenate(
+        [bnd[:, 1:],
+         jnp.clip((blocks + 1) * block - r, 0, n_valid)[None, :]],
+        axis=0)
+
+    ws = jnp.clip(jnp.min(lo_all, axis=0), 0, max(cap - window, 0)
+                  ).astype(jnp.int32) & ~jnp.int32(127)
+    ss = jnp.clip(lo_all - ws[None, :], 0, window - subwin
+                  ).astype(jnp.int32) & ~jnp.int32(127)  # [nc, nb]
+    far = (hi_all + k1 - 1) >= (ws[None, :] + ss + subwin)
+    far_count = jnp.sum(far.astype(jnp.int32))
+    ssP = jnp.concatenate(
+        [ss, jnp.zeros((ncpad - nc, nb), jnp.int32)], axis=0).T  # [NB, ncpad]
+    tbl = jnp.concatenate([
+        key_hi[None, :], key_lo[None, :],
+        jnp.zeros((6, cap), jnp.int32)], axis=0)  # [8, cap]
+    return ws, ssP, tbl, far, far_count
+
+
+def _kernel_v2(ws_ref, ss_ref, tbl_hbm, own_ref, o_ref, win, sem,
+               *, B, W, WK, K1, NC1, CC):
+    """v2 grid step: like `_kernel` but the per-query candidate base is
+    recovered IN-KERNEL by a two-level strided count over the sub-window
+    (stride 32 bracket -> stride 4 refine), so no per-query rank array is
+    staged or sorted. The table is sorted and the sub-window covers every
+    query's insertion rank (guaranteed by `plan_cube_prepare_v2`, repaired
+    otherwise), hence rank = #(entries < query) restricted to the
+    sub-window, and candidates live at base + m, m in 0..K1+2."""
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        tbl_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[i], 128), W)], win, sem)
+    cp.start()
+    cp.wait()
+
+    r = K1 // 2
+    col_off = _cube_offsets(K1).reshape(K1 * K1, K1, 3)[:, 0, :2]
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)  # m = sublane
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    idx_l1 = (m_iota & 3) * 32  # L1 lane index per sublane (const)
+    sel_lo4 = m_iota < 4
+
+    def count_lt(th, tl, qh8, ql8, acc):
+        lt = (th < qh8) | ((th == qh8) & (tl < ql8))
+        return acc + lt.astype(jnp.int32)
+
+    def resolve_column(c_slot, dhi, dlo, col_idx, center):
+        base_ss = pl.multiple_of(ss_ref[i, c_slot], 128)
+        tiles = []
+        for t in range(WK // 128):
+            tw = win[0:2, pl.ds(pl.multiple_of(base_ss + t * 128, 128), 128)]
+            tiles.append((pltpu.repeat(tw[0:1], 8, axis=0),
+                          pltpu.repeat(tw[1:2], 8, axis=0)))
+        n_m = K1 if center else K1 + 3
+        for cch in range(B // 128):
+            sl = slice(cch * 128, (cch + 1) * 128)
+            hi_own = own_ref[0:1, sl]
+            lo_own = own_ref[1:2, sl]
+            vld = hi_own != _SENT_HI
+            qh8 = pltpu.repeat(
+                jnp.where(vld, hi_own + dhi, _SENT_HI), 8, axis=0)
+            ql8 = pltpu.repeat(
+                jnp.where(vld, lo_own + dlo, _SENT_LO), 8, axis=0)
+            if center:
+                # exact base: query row is i*B + cch*128 + lane; its first
+                # candidate is that row - r (clamped at the array start),
+                # sub-window-relative
+                rel2 = (i * B + cch * 128 - r
+                        - ws_ref[i] - base_ss) + lane_iota
+                rel2 = jnp.maximum(rel2, -(ws_ref[i] + base_ss))
+            else:
+                # L1: entries at stride 32 (16 of them); entry (g*8+i) sits
+                # in tile 2g + (i>>2) at lane (i&3)*32 — constant indices,
+                # so the "gather" lowers to cheap sublane-uniform selects
+                acc = jnp.zeros((8, 128), jnp.int32)
+                for g in range(WK // 256):
+                    thA = jnp.take_along_axis(tiles[2 * g][0], idx_l1, axis=1)
+                    thB = jnp.take_along_axis(
+                        tiles[2 * g + 1][0], idx_l1, axis=1)
+                    tlA = jnp.take_along_axis(tiles[2 * g][1], idx_l1, axis=1)
+                    tlB = jnp.take_along_axis(
+                        tiles[2 * g + 1][1], idx_l1, axis=1)
+                    th = jnp.where(sel_lo4, thA, thB)
+                    tl = jnp.where(sel_lo4, tlA, tlB)
+                    acc = count_lt(th, tl, qh8, ql8, acc)
+                c32 = jnp.sum(acc, axis=0, keepdims=True)  # [1, 128]
+                b32 = jnp.maximum(c32 - 1, 0) * 32
+                # L2: 8 entries at b32 + m*4 (dynamic lane-varying index)
+                idx2 = pltpu.repeat(b32, 8, axis=0) + m_iota * 4
+                dv2 = idx2 >> 7
+                md2 = idx2 & 127
+                th2 = jnp.zeros((8, 128), jnp.int32)
+                tl2 = jnp.zeros((8, 128), jnp.int32)
+                for t in range(WK // 128):
+                    s = dv2 == t
+                    th2 = jnp.where(
+                        s, jnp.take_along_axis(tiles[t][0], md2, axis=1), th2)
+                    tl2 = jnp.where(
+                        s, jnp.take_along_axis(tiles[t][1], md2, axis=1), tl2)
+                c4 = jnp.sum(
+                    count_lt(th2, tl2, qh8, ql8, jnp.zeros((8, 128), jnp.int32)),
+                    axis=0, keepdims=True)
+                rel2 = (b32 + jnp.maximum(c4 - 1, 0) * 4
+                        + (c4 > 0).astype(jnp.int32))
+            rel8 = pltpu.repeat(rel2, 8, axis=0)
+            relm8 = rel8 + m_iota
+            ok_base = (rel8 >= 0) & (relm8 < WK) & (qh8 != _SENT_HI)
+            div8 = relm8 >> 7
+            mod8 = relm8 & 127
+            accH = jnp.zeros((8, 128), jnp.int32)
+            accL = jnp.zeros((8, 128), jnp.int32)
+            for t in range(WK // 128):
+                tH, tL = tiles[t]
+                s = div8 == t
+                accH = jnp.where(
+                    s, jnp.take_along_axis(tH, mod8, axis=1), accH)
+                accL = jnp.where(
+                    s, jnp.take_along_axis(tL, mod8, axis=1), accL)
+            delta8 = accL - ql8
+            ok8 = (ok_base & (accH == qh8)
+                   & (delta8 >= 0) & (delta8 <= 2 * r))
+            dok8 = jnp.where(ok8, delta8, -1)
+            crow8 = ws_ref[i] + base_ss + relm8
+            res = jnp.full((8, 128), -1, jnp.int32)
+            dz_iota = m_iota
+            for m in range(n_m):
+                dm = pltpu.repeat(dok8[m:m + 1], 8, axis=0)
+                cm = pltpu.repeat(crow8[m:m + 1], 8, axis=0)
+                res = jnp.where(dm == dz_iota, cm, res)
+            o_ref[col_idx * 8:(col_idx + 1) * 8, sl] = res
+
+    slot = 0
+    for col_idx in range(K1 * K1):
+        if col_idx == CC:
+            resolve_column(NC1, 0, -r, CC, True)
+            continue
+        dx, dy = int(col_off[col_idx, 0]), int(col_off[col_idx, 1])
+        resolve_column(slot, dx, dy * FIELD - r, col_idx, False)
+        slot += 1
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "block", "window",
+                                             "subwin", "interpret"))
+def cube_neighbor_map_kernel_v2(key_hi, key_lo, valid, *, k1: int,
+                                block: int = BLOCK, window: int = WINDOW,
+                                subwin: int = SUBWIN,
+                                interpret: bool = False):
+    """([cap, k1^3] neighbor map, far_count) with boundary-rank planning.
+
+    Unlike v1 this computes its own (tiny) rank join; callers pass only the
+    sorted unique keys. Flagged (column, block) pairs are completed exactly
+    by `repair_far_pairs_v2`; overflow > 0 means fallback needed.
+    """
+    cap = key_hi.shape[0]
+    nb = cap // block
+    ncols = k1 * k1
+    nc1 = ncols - 1
+    ncpad = _round_up(nc1 + 1, 8)
+    kk = k1 ** 3
+    cc = (ncols - 1) // 2
+
+    bnd = boundary_ranks(valid, key_hi, key_lo, k1, block)
+    ws, ss, tbl, far, far_count = plan_cube_prepare_v2(
+        key_hi, key_lo, bnd, k1, block, window, subwin)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, block), lambda i, ws, ss: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((ncols * 8, block), lambda i, ws, ss: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((8, window), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    nbrT8 = pl.pallas_call(
+        functools.partial(_kernel_v2, B=block, W=window, WK=subwin, K1=k1,
+                          NC1=nc1, CC=cc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ncols * 8, cap), jnp.int32),
+        interpret=interpret,
+    )(ws, ss, tbl, tbl)
+    nbrT = nbrT8.reshape(ncols, 8, cap)[:, :k1].reshape(kk, cap)
+    nbr, overflow = repair_far_pairs_v2(
+        nbrT.T, key_hi, key_lo, valid, far, k1, block)
+    return nbr, overflow
+
+
+def repair_far_pairs_v2(nbr, key_hi, key_lo, valid, far, k1: int, block: int):
+    """Exact completion for flagged (column, block) pairs: compute those
+    pairs' per-query insertion ranks with a mini rank join (<= REPAIR_CAP *
+    block queries vs v1's (k^2-1) * cap) and max-merge their key-diffed
+    candidates, reusing the same m-loop as `repair_far_pairs`."""
+    from .join import sorted_rank
+
+    cap = key_hi.shape[0]
+    nb = cap // block
+    r = k1 // 2
+    ncols = k1 * k1
+    cc = (ncols - 1) // 2
+    col_map = np.array([c for c in range(ncols) if c != cc] + [cc], np.int32)
+
+    fb = far  # [nc, nb]
+    n_far_pairs = jnp.sum(fb.astype(jnp.int32))
+    (pair_idx,) = jnp.nonzero(fb.reshape(-1), size=REPAIR_CAP, fill_value=-1)
+    overflow = jnp.maximum(n_far_pairs - REPAIR_CAP, 0)
+
+    c_j = jnp.where(pair_idx >= 0, pair_idx // nb, 0)
+    b_j = jnp.where(pair_idx >= 0, pair_idx % nb, 0)
+    rows = b_j[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+    hj = valid[rows] & (pair_idx >= 0)[:, None]
+
+    col_dxy = _cube_offsets(k1).reshape(ncols, k1, 3)[:, 0, :2]
+    dhi_np = col_dxy[col_map][:, 0].copy()
+    dlo_np = (col_dxy[col_map][:, 1] * FIELD - r).copy()
+    dhi_np[-1] = 0
+    dlo_np[-1] = -r
+    dhi_t = jnp.asarray(dhi_np, jnp.int32)
+    dlo_t = jnp.asarray(dlo_np, jnp.int32)
+    qh = jnp.where(hj, key_hi[rows] + dhi_t[c_j][:, None], SENTINEL_HI)
+    ql = jnp.where(hj, key_lo[rows] + dlo_t[c_j][:, None], SENTINEL_LO)
+    pj = sorted_rank(
+        key_hi, key_lo, qh.reshape(-1), ql.reshape(-1)
+    ).reshape(qh.shape)
+    flat_col = jnp.asarray(col_map, jnp.int32)[c_j]
+
+    out = nbr
+    kk = k1 ** 3
+    for m in range(k1):
+        crow = jnp.clip(pj + m, 0, cap - 1)
+        chi = key_hi[crow]
+        clo = key_lo[crow]
+        delta = clo - ql
+        ok = hj & (chi == qh) & (delta >= 0) & (delta <= 2 * r)
+        pos = jnp.where(
+            ok, rows * kk + flat_col[:, None] * k1 + delta, cap * kk)
+        out = out.reshape(-1).at[pos.reshape(-1)].max(
+            jnp.where(ok, crow, -1).reshape(-1), mode="drop").reshape(cap, kk)
+    return out, overflow
+
+
 REPAIR_CAP = 64  # flagged (block, column) pairs repaired exactly in XLA
 
 

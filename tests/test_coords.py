@@ -181,3 +181,33 @@ def test_plan_kernel_interpret_matches_join():
     ref = P._join_offsets(lcoords, lvalid, uh, ul, P.KERNEL_OFFSETS_3, 32)
     out = P._build_cube_kernel_map(lcoords, lvalid, uh, ul, 3, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_plan_kernel_v2_interpret_matches_join():
+    """v2 (boundary-rank planning + in-kernel two-level count) equals the
+    per-offset join bit-exactly, k=3 in interpret mode, on a distribution
+    with batch straddles, dense blobs and an invalid tail."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.coords import encode_coords, sorted_unique, decode_keys, SENTINEL_HI
+    from gcdlss_tpu.ops import plan as P
+
+    rng = np.random.default_rng(29)
+    cap = 2048
+    blobs = rng.integers(-12, 12, size=(12, 3))
+    pts = (blobs[rng.integers(0, 12, 2600)]
+           + rng.integers(-3, 4, size=(2600, 3))).astype(np.int32)
+    b = rng.integers(0, 3, size=(2600, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(cap * 0.9)]
+    coords = np.zeros((cap, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((cap,), bool)
+    valid[: len(c)] = True
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inv, cnt = sorted_unique(hi, lo, cap)
+    lvalid = uh != SENTINEL_HI
+    lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
+    ref = P._join_offsets(lcoords, lvalid, uh, ul, P.KERNEL_OFFSETS_3, 32)
+    out = P._build_cube_kernel_map(lcoords, lvalid, uh, ul, 3,
+                                   interpret=True, version=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

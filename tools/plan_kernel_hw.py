@@ -34,6 +34,7 @@ _spec.loader.exec_module(_bench)
 
 N = int(os.environ.get("N", 69120))
 K1 = int(os.environ.get("K1", 3))
+VER = int(os.environ.get("VER", 2))
 offsets = P._offsets(K1)
 
 rng = np.random.default_rng(0)
@@ -52,7 +53,9 @@ lvalid = uh != SENTINEL_HI
 lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
 print(f"N={N} K1={K1} valid={int(jnp.sum(lvalid))}", flush=True)
 
-kern = jax.jit(lambda c, v, h, l: P._build_cube_kernel_map(c, v, h, l, K1))
+kern = jax.jit(
+    lambda c, v, h, l: P._build_cube_kernel_map(c, v, h, l, K1, version=VER))
+print(f"kernel version: v{VER}", flush=True)
 t0 = time.time()
 out = kern(lcoords, lvalid, uh, ul)
 _ = np.asarray(out[:1, :1])
