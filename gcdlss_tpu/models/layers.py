@@ -36,23 +36,69 @@ def mask_rows(x: jax.Array, valid: jax.Array) -> jax.Array:
     return x * valid[:, None].astype(x.dtype)
 
 
+def mask_cols(x: jax.Array, valid: jax.Array) -> jax.Array:
+    return x * valid[None, :].astype(x.dtype)
+
+
+def _mask(x, valid, layout):
+    return mask_cols(x, valid) if layout == "cols" else mask_rows(x, valid)
+
+
+class DenseT(nn.Module):
+    """nn.Dense for the transposed [C, N] activation layout.
+
+    Param names/shapes identical to `nn.Dense` (kernel [ci, co], bias [co])
+    so checkpoints are layout-independent."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jax.typing.DTypeLike | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[0]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (ci, self.features))
+        dt = self.dtype or x.dtype
+        y = jax.lax.dot_general(
+            kernel.astype(dt), x.astype(dt), (((0,), (0,)), ((), ())))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)[:, None]
+        return y
+
+
 class SparseConv(nn.Module):
-    """Submanifold sparse convolution (kernel offsets given by the nbr map)."""
+    """Submanifold sparse convolution (kernel offsets given by the nbr map).
+
+    layout="cols" consumes/produces [C, N] (transposed-activation mode): the
+    fused kernel then packs/unpacks elementwise with zero relayout; the XLA
+    fallback transposes locally (small levels only, where that is cheap)."""
 
     features: int
     kernel_volume: int = 27
     use_bias: bool = False
+    layout: str = "rows"
 
     @nn.compact
     def __call__(self, x, nbr, valid):
-        ci = x.shape[-1]
+        cols = self.layout == "cols"
+        ci = x.shape[0] if cols else x.shape[-1]
+        n = x.shape[1] if cols else x.shape[0]
         w = self.param(
             "kernel",
             _kaiming_conv_init(self.kernel_volume),
             (self.kernel_volume, ci, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
-        if _fused.enabled_on() and _fused.supported(x.shape[0], ci, nbr.shape[1]):
+        fused_ok = _fused.enabled_on() and _fused.supported(n, ci, nbr.shape[1])
+        if cols:
+            if fused_ok:
+                out = _fused.fused_subm_conv_T(x, nbr, w, b)
+            else:
+                out = gather_conv(x.T, nbr, w, b, symmetric_adjoint=True).T
+            return mask_cols(out, valid)
+        if fused_ok:
             out = _fused.fused_subm_conv(x, nbr, w, b)
         else:
             out = gather_conv(x, nbr, w, b, symmetric_adjoint=True)
@@ -64,11 +110,16 @@ class SparseDownConv(nn.Module):
 
     features: int
     cap_out: int
+    layout: str = "rows"
 
     @nn.compact
     def __call__(self, x, pool, out_valid):
-        ci = x.shape[-1]
+        cols = self.layout == "cols"
+        ci = x.shape[0] if cols else x.shape[-1]
         w = self.param("kernel", _kaiming_conv_init(8), (8, ci, self.features))
+        if cols:
+            out = down_conv(x.T, pool.parent, pool.dcode, w, self.cap_out).T
+            return mask_cols(out, out_valid)
         out = down_conv(x, pool.parent, pool.dcode, w, self.cap_out)
         return mask_rows(out, out_valid)
 
@@ -77,11 +128,16 @@ class SparseUpConv(nn.Module):
     """Transpose k=2 s=2 sparse conv back onto the finer level's coords."""
 
     features: int
+    layout: str = "rows"
 
     @nn.compact
     def __call__(self, x_coarse, pool, out_valid):
-        ci = x_coarse.shape[-1]
+        cols = self.layout == "cols"
+        ci = x_coarse.shape[0] if cols else x_coarse.shape[-1]
         w = self.param("kernel", _kaiming_conv_init(8), (8, ci, self.features))
+        if cols:
+            out = up_conv(x_coarse.T, pool.parent, pool.dcode, w).T
+            return mask_cols(out, out_valid)
         out = up_conv(x_coarse, pool.parent, pool.dcode, w)
         return mask_rows(out, out_valid)
 
@@ -91,14 +147,17 @@ class SparseBatchNorm(nn.Module):
 
     Normalizes with biased batch variance; running_var stores the unbiased
     estimate, matching `torch.nn.BatchNorm1d` inside `MinkowskiBatchNorm`.
+    Param/stat shapes are layout-independent ([C]).
     """
 
     momentum: float = 0.1
     eps: float = 1e-5
+    layout: str = "rows"
 
     @nn.compact
     def __call__(self, x, valid, use_running_average: bool):
-        c = x.shape[-1]
+        cols = self.layout == "cols"
+        c = x.shape[0] if cols else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
@@ -107,13 +166,24 @@ class SparseBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean, var, cnt = masked_batch_norm_stats(x.astype(jnp.float32), valid)
+            if cols:
+                xf = x.astype(jnp.float32)
+                m = valid[None, :].astype(jnp.float32)
+                cnt = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(xf * m, axis=1) / cnt
+                var = jnp.sum((xf - mean[:, None]) ** 2 * m, axis=1) / cnt
+            else:
+                mean, var, cnt = masked_batch_norm_stats(
+                    x.astype(jnp.float32), valid)
             unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
             if not self.is_initializing():
-                m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                mo = self.momentum
+                ra_mean.value = (1 - mo) * ra_mean.value + mo * mean
+                ra_var.value = (1 - mo) * ra_var.value + mo * unbiased
         inv = jax.lax.rsqrt(var + self.eps)
+        if cols:
+            out = (x - mean[:, None]) * (inv * scale)[:, None] + bias[:, None]
+            return mask_cols(out.astype(x.dtype), valid)
         out = (x - mean) * (inv * scale) + bias
         return mask_rows(out.astype(x.dtype), valid)
 

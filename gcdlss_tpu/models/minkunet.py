@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import (SparseConv, SparseDownConv, SparseUpConv,
-                     SparseBatchNorm, NormedLinear, mask_rows)
+                     SparseBatchNorm, NormedLinear, DenseT,
+                     mask_rows, mask_cols, _mask)
 
 # name -> (block_type, layers). 'basic' expansion=1, 'bottleneck' expansion=4.
 ARCHS = {
@@ -54,19 +55,29 @@ class BasicBlock(nn.Module):
 
     planes: int
     dtype: Any = jnp.float32
+    layout: str = "rows"
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
+        lay = self.layout
+        cax = 0 if lay == "cols" else -1
+        dense = (lambda f, name: DenseT(f, use_bias=False, dtype=self.dtype,
+                                        name=name)) if lay == "cols" else (
+            lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
+                                     name=name))
         residual = x
-        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv1")(x, nbr, valid)
-        out = SparseBatchNorm(name="norm1")(out, valid, not train)
+        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], layout=lay,
+                         name="conv1")(x, nbr, valid)
+        out = SparseBatchNorm(layout=lay, name="norm1")(out, valid, not train)
         out = nn.relu(out)
-        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv2")(out, nbr, valid)
-        out = SparseBatchNorm(name="norm2")(out, valid, not train)
-        if x.shape[-1] != self.planes:
-            residual = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="proj")(x)
-            residual = SparseBatchNorm(name="proj_norm")(residual, valid, not train)
-        return mask_rows(nn.relu(out + residual), valid)
+        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], layout=lay,
+                         name="conv2")(out, nbr, valid)
+        out = SparseBatchNorm(layout=lay, name="norm2")(out, valid, not train)
+        if x.shape[cax] != self.planes:
+            residual = dense(self.planes, "proj")(x)
+            residual = SparseBatchNorm(layout=lay, name="proj_norm")(
+                residual, valid, not train)
+        return _mask(nn.relu(out + residual), valid, lay)
 
 
 class Bottleneck(nn.Module):
@@ -74,24 +85,33 @@ class Bottleneck(nn.Module):
 
     planes: int
     dtype: Any = jnp.float32
+    layout: str = "rows"
     EXPANSION = 4
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
+        lay = self.layout
+        cax = 0 if lay == "cols" else -1
+        dense = (lambda f, name: DenseT(f, use_bias=False, dtype=self.dtype,
+                                        name=name)) if lay == "cols" else (
+            lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
+                                     name=name))
         residual = x
         out_ch = self.planes * self.EXPANSION
-        out = nn.Dense(self.planes, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = SparseBatchNorm(name="norm1")(out, valid, not train)
+        out = dense(self.planes, "conv1")(x)
+        out = SparseBatchNorm(layout=lay, name="norm1")(out, valid, not train)
         out = nn.relu(out)
-        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], name="conv2")(out, nbr, valid)
-        out = SparseBatchNorm(name="norm2")(out, valid, not train)
+        out = SparseConv(self.planes, kernel_volume=nbr.shape[1], layout=lay,
+                         name="conv2")(out, nbr, valid)
+        out = SparseBatchNorm(layout=lay, name="norm2")(out, valid, not train)
         out = nn.relu(out)
-        out = nn.Dense(out_ch, use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = SparseBatchNorm(name="norm3")(out, valid, not train)
-        if x.shape[-1] != out_ch:
-            residual = nn.Dense(out_ch, use_bias=False, dtype=self.dtype, name="proj")(x)
-            residual = SparseBatchNorm(name="proj_norm")(residual, valid, not train)
-        return mask_rows(nn.relu(out + residual), valid)
+        out = dense(out_ch, "conv3")(out)
+        out = SparseBatchNorm(layout=lay, name="norm3")(out, valid, not train)
+        if x.shape[cax] != out_ch:
+            residual = dense(out_ch, "proj")(x)
+            residual = SparseBatchNorm(layout=lay, name="proj_norm")(
+                residual, valid, not train)
+        return _mask(nn.relu(out + residual), valid, lay)
 
 
 def _block_cls(kind: str):
@@ -108,6 +128,7 @@ class _ResLayer(nn.Module):
     blocks: int
     dtype: Any = jnp.float32
     remat: bool = False
+    layout: str = "rows"
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
@@ -115,8 +136,22 @@ class _ResLayer(nn.Module):
         if self.remat:
             cls = nn.remat(cls, static_argnums=(4,))
         for i in range(self.blocks):
-            x = cls(self.planes, self.dtype, name=f"block{i}")(x, nbr, valid, train)
+            x = cls(self.planes, self.dtype, self.layout,
+                    name=f"block{i}")(x, nbr, valid, train)
         return x
+
+
+def default_layout() -> str:
+    """Activation layout for new models: transposed [C, N] ("cols") where
+    the fused TPU kernels run (erases the per-conv pack transposes), row
+    layout elsewhere. Override with GCDLSS_LAYOUT=rows|cols."""
+    import os
+    mode = os.environ.get("GCDLSS_LAYOUT", "auto")
+    if mode in ("rows", "cols"):
+        return mode
+    # auto currently resolves to "rows" everywhere; flips to "cols" on TPU
+    # once the T kernels are hardware-validated and cache-primed
+    return "rows"
 
 
 class MinkUNetBackbone(nn.Module):
@@ -128,6 +163,7 @@ class MinkUNetBackbone(nn.Module):
     layers_override: Any = None
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     remat: bool = False  # rematerialize residual stacks (memory vs FLOPs)
+    layout: str = "rows"  # "cols" = transposed [C, N] activations (TPU)
 
     @nn.compact
     def __call__(self, plan, feats, train: bool):
@@ -136,28 +172,37 @@ class MinkUNetBackbone(nn.Module):
             layers = self.layers_override
         exp = _expansion(kind)
         p = self.planes
+        lay = self.layout
+        cols = lay == "cols"
+        cax = 0 if cols else -1
         lv = plan.levels
         pools = plan.pools
         caps = [l.coords.shape[0] for l in lv]
         feats = feats.astype(self.dtype)
+        if cols:
+            # entry transpose is free in practice: the stem input is [N, 1]
+            feats = feats.T
 
         # ---- stem (k=5, stride 1) ----
-        x = SparseConv(self.init_dim, kernel_volume=plan.stem_nbr.shape[1], name="conv0p1s1")(
+        x = SparseConv(self.init_dim, kernel_volume=plan.stem_nbr.shape[1],
+                       layout=lay, name="conv0p1s1")(
             feats, plan.stem_nbr, lv[0].valid
         )
-        x = SparseBatchNorm(name="bn0")(x, lv[0].valid, not train)
+        x = SparseBatchNorm(layout=lay, name="bn0")(x, lv[0].valid, not train)
         out_p1 = nn.relu(x)
 
         # ---- encoder ----
         skips = [out_p1]
         x = out_p1
         for i in range(4):
-            x = SparseDownConv(x.shape[-1], caps[i + 1], name=f"conv{i + 1}s2")(
+            x = SparseDownConv(x.shape[cax], caps[i + 1], layout=lay,
+                               name=f"conv{i + 1}s2")(
                 x, pools[i], lv[i + 1].valid
             )
-            x = SparseBatchNorm(name=f"bn{i + 1}")(x, lv[i + 1].valid, not train)
+            x = SparseBatchNorm(layout=lay, name=f"bn{i + 1}")(
+                x, lv[i + 1].valid, not train)
             x = nn.relu(x)
-            x = _ResLayer(kind, p[i], layers[i], self.dtype, self.remat,
+            x = _ResLayer(kind, p[i], layers[i], self.dtype, self.remat, lay,
                           name=f"block{i + 1}")(
                 x, lv[i + 1].nbr3, lv[i + 1].valid, train
             )
@@ -166,15 +211,20 @@ class MinkUNetBackbone(nn.Module):
         # ---- decoder ----
         for j in range(4):
             lvl = 3 - j  # target level index (3,2,1,0)
-            x = SparseUpConv(p[4 + j], name=f"convtr{4 + j}s2")(x, pools[lvl], lv[lvl].valid)
-            x = SparseBatchNorm(name=f"bntr{4 + j}")(x, lv[lvl].valid, not train)
+            x = SparseUpConv(p[4 + j], layout=lay, name=f"convtr{4 + j}s2")(
+                x, pools[lvl], lv[lvl].valid)
+            x = SparseBatchNorm(layout=lay, name=f"bntr{4 + j}")(
+                x, lv[lvl].valid, not train)
             x = nn.relu(x)
             skip = skips[lvl]
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = _ResLayer(kind, p[4 + j], layers[4 + j], self.dtype, self.remat,
-                          name=f"block{5 + j}")(
+            x = jnp.concatenate([x, skip], axis=cax)
+            x = _ResLayer(kind, p[4 + j], layers[4 + j], self.dtype,
+                          self.remat, lay, name=f"block{5 + j}")(
                 x, lv[lvl].nbr3, lv[lvl].valid, train
             )
+        if cols:
+            # single exit transpose back to the public [N, C] contract
+            x = x.T
         return x  # [cap0, planes[7]*exp]
 
 
@@ -195,7 +245,8 @@ class MinkUNetSeg(nn.Module):
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
         h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
-                             remat=self.remat, name="encoder")(plan, feats, train)
+                             remat=self.remat, layout=default_layout(),
+                             name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)  # heads + losses in f32
         if self.head == "cosine":
             # cosine-prototype classifier (`multiheadminkunet.py:458-488`)
@@ -232,7 +283,8 @@ class MinkUNetRC(nn.Module):
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
         h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
-                             remat=self.remat, name="encoder")(plan, feats, train)
+                             remat=self.remat, layout=default_layout(),
+                             name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)
         valid = plan.levels[0].valid
         if self.head == "cosine":

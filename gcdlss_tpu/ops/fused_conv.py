@@ -227,7 +227,8 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
 
 
 def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
-                win_a, win_b, gst, sem, *, B, W, WK, K, Cpad, Co):
+                win_a, win_b, gst, sem, *, B, W, WK, K, Cpad, Co,
+                TOUT=False):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     C2 = Cpad // 2
@@ -277,15 +278,23 @@ def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
                                 B=B, WK=WK, K=K, C2=C2)
 
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Cpad, B]
-    o_ref[:] = jax.lax.dot_general(
-        g, w_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if TOUT:
+        # transposed-activation mode: out block [Co, B] — same MXU work,
+        # swapped dot operands; no output transpose anywhere
+        o_ref[:] = jax.lax.dot_general(
+            w_ref[:], g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        o_ref[:] = jax.lax.dot_general(
+            g, w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
                 dx_ref, dw_hbm, win_a, win_b, gst, dw_acc, sem,
-                *, B, W, WK, K, Copad, CiChunk):
+                *, B, W, WK, K, Copad, CiChunk, TOUT=False):
     ci_c = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -336,11 +345,18 @@ def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
                                 B=B, WK=WK, K=K, C2=C2)
 
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Copad, B]
-    # dX chunk [B, CiChunk] = g^T @ wmat_chunk
-    dx_ref[:] = jax.lax.dot_general(
-        g, wmat_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if TOUT:
+        # dX chunk [CiChunk, B] = wmat_chunk^T @ g (transposed-activation)
+        dx_ref[:] = jax.lax.dot_general(
+            wmat_ref[:], g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # dX chunk [B, CiChunk] = g^T @ wmat_chunk
+        dx_ref[:] = jax.lax.dot_general(
+            g, wmat_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     # dW chunk [CiChunk, K*Copad] += xT_chunk @ g^T   (contract lanes = rows)
     # accumulated in a VMEM scratch, written to HBM once at the last block:
     # a VMEM *output* block here gets double-buffered by the pipeliner and
@@ -408,18 +424,20 @@ def _fwd_geometry(cpad: int, co: int, k: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "B", "W", "WK", "dbuf", "interpret"))
+                   static_argnames=("k", "B", "W", "WK", "dbuf", "interpret",
+                                    "tout"))
 def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
-                    interpret=False):
+                    interpret=False, tout=False):
     """wflat is k8-padded: [k8*cpad, co] with zero rows for offsets >= k, so
-    stale gst rows beyond the real offsets contribute nothing to the dot."""
+    stale gst rows beyond the real offsets contribute nothing to the dot.
+    With `tout` the output is the transposed [co, n] block layout."""
     cpad, n = 2 * xT.shape[0], xT.shape[1]
     nbk, _ = relT.shape
     co = wflat.shape[1]
     k8 = _round_up(k, 8)
     nb = nbk // k8
     kern = functools.partial(_fwd_kernel, B=B, W=W, WK=WK, K=k, Cpad=cpad,
-                             Co=co)
+                             Co=co, TOUT=tout)
     if dbuf:
         win_scratch = [pltpu.VMEM((cpad // 2, W), jnp.int32),
                        pltpu.VMEM((cpad // 2, W), jnp.int32)]
@@ -438,7 +456,8 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
             pl.BlockSpec((k8, B), lambda i, ws, ss: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, co), lambda i, ws, ss: (i, 0)),
+        out_specs=(pl.BlockSpec((co, B), lambda i, ws, ss: (0, i)) if tout
+                   else pl.BlockSpec((B, co), lambda i, ws, ss: (i, 0))),
         scratch_shapes=win_scratch + [
             pltpu.VMEM((k8 * cpad // 2, B), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -447,15 +466,17 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((co, n) if tout else (n, co),
+                                       jnp.float32),
         interpret=interpret,
     )(ws, ss, xT, relT, wflat)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "B", "W", "WK", "interpret"))
+                   static_argnames=("k", "B", "W", "WK", "interpret",
+                                    "tout"))
 def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
-                    interpret=False):
+                    interpret=False, tout=False):
     """Returns (dX [N, Cpad] f32, dW_flat [Cpad, K8*Copad] f32).
 
     wmat is k8-padded ([k8*copad, cpad], zero rows beyond the real offsets)
@@ -477,7 +498,7 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
     n_chunks = cpad // ci_chunk
     dbuf = copad <= 128
     kern = functools.partial(_bwd_kernel, B=B, W=W, WK=WK, K=k, Copad=copad,
-                             CiChunk=ci_chunk)
+                             CiChunk=ci_chunk, TOUT=tout)
     if dbuf:
         win_scratch = [
             pltpu.VMEM((copad // 2, W), jnp.int32),
@@ -501,7 +522,8 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
             pl.BlockSpec((ci_chunk // 2, B), lambda c, i, ws, ss: (c, i)),
         ],
         out_specs=(
-            pl.BlockSpec((B, ci_chunk), lambda c, i, ws, ss: (i, c)),
+            (pl.BlockSpec((ci_chunk, B), lambda c, i, ws, ss: (c, i)) if tout
+             else pl.BlockSpec((B, ci_chunk), lambda c, i, ws, ss: (i, c))),
             pl.BlockSpec(memory_space=pl.ANY),  # dw written by explicit DMA
         ),
         scratch_shapes=win_scratch + [
@@ -514,7 +536,8 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n, cpad), jnp.float32),
+            jax.ShapeDtypeStruct((cpad, n) if tout else (n, cpad),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((cpad, k8 * copad), jnp.float32),
         ),
         interpret=interpret,
@@ -632,6 +655,164 @@ def fused_subm_conv(
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(feats.dtype)
+
+
+# --------------------------------------------------------------------------
+# transposed-activation ("T") mode
+#
+# Activations stay [C, N] bf16 between convs (BN/ReLU/residual/concat are all
+# elementwise or axis-0 ops there), so the per-conv [N, C] -> packed [C/2, N]
+# relayout — an XLA transpose measured ~4-5 ms/conv at 262k voxels — becomes
+# a pure elementwise pack: channels (j, C/2+j) combine into one int32 lane
+# word (contiguous half-slices, no stride-2 sublane access). The packed bf16
+# row order is then the interleaved split-halves permutation, absorbed into
+# the (tiny) weight staging instead of the (huge) activations. Kernels write
+# transposed output blocks by swapping the dot operands — zero extra cost.
+# --------------------------------------------------------------------------
+
+
+def _chan_perm(cpad: int) -> np.ndarray:
+    """bf16-row r (after in-kernel int32->bf16 bitcast) -> channel index."""
+    perm = np.empty(cpad, np.int64)
+    perm[0::2] = np.arange(cpad // 2)
+    perm[1::2] = np.arange(cpad // 2) + cpad // 2
+    return perm
+
+
+def _inv_chan_perm(cpad: int) -> np.ndarray:
+    perm = _chan_perm(cpad)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(cpad)
+    return inv
+
+
+def _pack_cols(xT: jax.Array, cpad: int) -> jax.Array:
+    """[C, N] float -> packed int32 [cpad//2, N] (split-halves convention:
+    word j = channel j | channel (cpad/2 + j) << 16). Pure elementwise."""
+    c, n = xT.shape
+    xb = xT.astype(jnp.bfloat16)
+    if c < cpad:
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((cpad - c, n), jnp.bfloat16)], axis=0)
+    lo = jax.lax.bitcast_convert_type(xb[: cpad // 2], jnp.uint16)
+    hi = jax.lax.bitcast_convert_type(xb[cpad // 2:], jnp.uint16)
+    word = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
+    return jax.lax.bitcast_convert_type(word, jnp.int32)
+
+
+def _wflat_perm(weight: jax.Array, cpad: int, k8: int) -> jax.Array:
+    """[k, ci, co] -> [k8*cpad, co] bf16 with rows in bf16-unpack order."""
+    k, ci, co = weight.shape
+    wp = jnp.zeros((k, cpad, co), jnp.bfloat16)
+    wp = jax.lax.dynamic_update_slice(wp, weight.astype(jnp.bfloat16),
+                                      (0, 0, 0))
+    wp = wp[:, _chan_perm(cpad), :]
+    wflat = jnp.zeros((k8, cpad, co), jnp.bfloat16)
+    wflat = jax.lax.dynamic_update_slice(wflat, wp, (0, 0, 0))
+    return wflat.reshape(k8 * cpad, co)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_core_T(xT, nbr, weight, interpret):
+    out, _ = _fused_core_T_fwd(xT, nbr, weight, interpret)
+    return out
+
+
+def _fused_core_T_fwd(xT, nbr, weight, interpret):
+    ci, n = xT.shape
+    k, _, co = weight.shape
+    cpad = _cpad_for(ci)
+    k8 = _round_up(k, 8)
+    w_f, dbuf_f = _fwd_geometry(cpad, co, k)
+    ws, ss, relT, far, far_n = plan_windows(nbr, window=w_f)
+    xTp = _pack_cols(xT, cpad)
+    wflat = _wflat_perm(weight, cpad, k8)
+    out = _fused_fwd_core(xTp, ws, ss, relT, wflat, k=k, dbuf=dbuf_f,
+                          B=BLOCK, W=w_f, WK=SUBWIN, interpret=interpret,
+                          tout=True)  # [co, n] f32
+
+    def _with_far(o):
+        fc = far_contribution(xT.T, far, weight, n)  # rare: pays transposes
+        return o + fc.T
+
+    out = jax.lax.cond(far_n > 0, _with_far, lambda o: o, out)
+    return out, (xT, nbr, weight, xTp)
+
+
+def _fused_core_T_bwd(interpret, res, g_out):
+    """Adjoint in the transposed layout; see `_fused_core_bwd`."""
+    xT, nbr, weight, xTp = res
+    ci, n = xT.shape
+    k, _, co = weight.shape
+    cpad = 2 * xTp.shape[0]
+    copad = _cpad_for(co)
+    g_out = g_out.astype(jnp.float32)  # [co, n]
+    goT = _pack_cols(g_out, copad)
+    nbr_rev = nbr[:, ::-1]
+    w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
+    ws2, ss2, relT2, far2, far_n2 = plan_windows(nbr_rev, window=w2)
+    k8 = _round_up(k, 8)
+    # wmat rows follow g's bf16-unpack (split-halves) order on copad; its
+    # minor axis stays natural-cpad so dx rows come out in channel order
+    wmat = jnp.zeros((k, copad, cpad), jnp.bfloat16)
+    wmat = jax.lax.dynamic_update_slice(
+        wmat, weight.astype(jnp.bfloat16).transpose(0, 2, 1), (0, 0, 0))
+    wmat = wmat[:, _chan_perm(copad), :]
+    wmat_p = jnp.zeros((k8, copad, cpad), jnp.bfloat16)
+    wmat_p = jax.lax.dynamic_update_slice(wmat_p, wmat, (0, 0, 0))
+    wmat_p = wmat_p.reshape(k8 * copad, cpad)
+    dxT_pad, dw_flat = _fused_bwd_core(
+        goT, xTp, ws2, ss2, relT2, wmat_p, k=k,
+        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret, tout=True,
+    )
+    dxT = dxT_pad[:ci]  # [ci, n]
+    # dw rows/lanes are in bf16-unpack order on BOTH axes: unpermute
+    dw = dw_flat[_inv_chan_perm(cpad)].reshape(cpad, k8, copad)
+    dw = dw[:, :, _inv_chan_perm(copad)][:ci, :k, :co].transpose(1, 0, 2)
+
+    def _with_far(args):
+        dxT, dw = args
+        feats = xT.T  # rare path: pays the transposes inside the cond
+        g_rows = g_out.T
+        w_adj = weight.transpose(0, 2, 1)
+        dxT = dxT + far_contribution(g_rows, far2, w_adj, n).T
+        far_out, far_in, far_k = far2
+        ok = (far_in >= 0)[:, None].astype(jnp.float32)
+        gx = feats[jnp.where(far_in >= 0, far_out, 0)].astype(jnp.float32) * ok
+        gg = g_rows[jnp.where(far_in >= 0, far_in, 0)] * ok
+
+        def dw_step(_, k_idx):
+            sel = (far_k == k_idx)[:, None].astype(jnp.float32)
+            return 0, jnp.dot((gx * sel).T, gg,
+                              preferred_element_type=jnp.float32)
+
+        _, dw_far = jax.lax.scan(dw_step, 0, jnp.arange(k, dtype=jnp.int32))
+        return dxT, dw + dw_far
+
+    dxT, dw = jax.lax.cond(far_n2 > 0, _with_far, lambda a: a, (dxT, dw))
+    return dxT.astype(xT.dtype), None, dw.astype(weight.dtype)
+
+
+_fused_core_T.defvjp(lambda x, nb, w, i: _fused_core_T_fwd(x, nb, w, i),
+                     _fused_core_T_bwd)
+
+
+def fused_subm_conv_T(
+    xT: jax.Array,
+    nbr: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """`fused_subm_conv` in the transposed-activation layout.
+
+    xT: [Ci, N] (bf16/f32), returns [Co, N] in xT's dtype. Same shape gates
+    as `supported` (N multiple of BLOCK, >= WINDOW)."""
+    out = _fused_core_T(xT, nbr, weight, interpret)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[:, None]
+    return out.astype(xT.dtype)
 
 
 def supported(n_rows: int, ci: int | None = None,

@@ -129,3 +129,63 @@ def test_fused_large_channel_single_buffer_bwd():
                                np.asarray(gf_ref, np.float32), rtol=0.1, atol=0.1)
     np.testing.assert_allclose(np.asarray(gw, np.float32),
                                np.asarray(gw_ref, np.float32), rtol=0.1, atol=0.1)
+
+
+def test_fused_conv_T_interpret_matches_gather(plan_fixture=None):
+    """Transposed-activation fused conv (values + dX/dW) equals gather_conv
+    in interpret mode — validates the split-halves packing, the permuted
+    weight staging, and the swapped-operand kernel dots."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.coords import encode_coords, sorted_unique, decode_keys, SENTINEL_HI
+    from gcdlss_tpu.ops import plan as P
+    from gcdlss_tpu.ops.conv import gather_conv
+    from gcdlss_tpu.ops import fused_conv as F
+
+    rng = np.random.default_rng(5)
+    cap = 2048
+    pts = rng.integers(-10, 10, size=(2600, 3)).astype(np.int32)
+    b = rng.integers(0, 2, size=(2600, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(cap * 0.9)]
+    coords = np.zeros((cap, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((cap,), bool)
+    valid[: len(c)] = True
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inv, cnt = sorted_unique(hi, lo, cap)
+    lvalid = uh != SENTINEL_HI
+    lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
+    nbr = P._join_offsets(lcoords, lvalid, uh, ul, P.KERNEL_OFFSETS_3, 32)
+
+    ci, co, k = 32, 48, 27
+    x = (rng.standard_normal((cap, ci)) * np.asarray(lvalid)[:, None]).astype(np.float32)
+    w = (rng.standard_normal((k, ci, co)) * 0.1).astype(np.float32)
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+
+    ref = gather_conv(xj.astype(jnp.bfloat16), nbr, wj, None,
+                      symmetric_adjoint=True)
+    outT = F.fused_subm_conv_T(xj.T.astype(jnp.bfloat16), nbr, wj,
+                               interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(outT.T, np.float32), np.asarray(ref, np.float32),
+        atol=2e-2)
+
+    mod = jnp.cos(jnp.arange(cap * co).reshape(cap, co) * 0.01)
+
+    def loss_ref(x_, w_):
+        o = gather_conv(x_.astype(jnp.bfloat16), nbr, w_, None,
+                        symmetric_adjoint=True)
+        return jnp.sum(o.astype(jnp.float32) * mod)
+
+    def loss_T(x_, w_):
+        o = F.fused_subm_conv_T(x_.T.astype(jnp.bfloat16), nbr, w_,
+                                interpret=True).T
+        return jnp.sum(o.astype(jnp.float32) * mod)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(xj, wj)
+    gt = jax.grad(loss_T, argnums=(0, 1))(xj, wj)
+    np.testing.assert_allclose(np.asarray(gt[0]), np.asarray(gr[0]),
+                               atol=1e-3)
+    dwr, dwt = np.asarray(gr[1]), np.asarray(gt[1])
+    assert np.abs(dwt - dwr).max() / (np.abs(dwr).max() + 1e-9) < 0.02

@@ -147,3 +147,48 @@ def test_plan_pool_invariants():
         assert np.all(nv[pa[v]])
         # invalid rows point at cap
         assert np.all(pa[~v] == cap)
+
+
+def test_backbone_layout_parity():
+    """The transposed-activation ("cols") backbone equals the row layout
+    bit-for-bit on the XLA fallback paths, with an identical param tree."""
+    import os
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.plan import build_unet_plan
+    from gcdlss_tpu.models.minkunet import MinkUNetSeg
+
+    rng = np.random.default_rng(3)
+    cap = 2048
+    caps = (2048, 1024, 512, 512, 256)
+    pts = rng.integers(-20, 20, size=(2600, 3)).astype(np.int32)
+    b = rng.integers(0, 2, size=(2600, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(cap * 0.9)]
+    coords = np.zeros((cap, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((cap,), bool)
+    valid[: len(c)] = True
+    plan = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), caps)
+    feats = jnp.asarray(
+        rng.uniform(0, 1, (cap, 1)).astype(np.float32)) * valid[:, None]
+
+    outs = {}
+    prev = os.environ.get("GCDLSS_LAYOUT")
+    try:
+        for lay in ("rows", "cols"):
+            os.environ["GCDLSS_LAYOUT"] = lay
+            model = MinkUNetSeg(num_classes=5, arch="MinkUNet14",
+                                planes=(8,) * 8)
+            v = model.init(jax.random.PRNGKey(0), plan, feats, train=False)
+            out = model.apply(v, plan, feats, train=False)
+            outs[lay] = (np.asarray(out["logits"]), np.asarray(out["feats"]),
+                         jax.tree_util.tree_structure(v))
+    finally:
+        if prev is None:
+            os.environ.pop("GCDLSS_LAYOUT", None)
+        else:
+            os.environ["GCDLSS_LAYOUT"] = prev
+    assert outs["rows"][2] == outs["cols"][2]
+    np.testing.assert_allclose(outs["rows"][0], outs["cols"][0], atol=1e-5)
+    np.testing.assert_allclose(outs["rows"][1], outs["cols"][1], atol=1e-5)
