@@ -174,7 +174,15 @@ def main():
 
 def stage2_main():
     """North-star config: the full Stage-2 discovery step at KITTI scale
-    (2 labeled + 2 unlabeled scans). Run with GCDLSS_BENCH=stage2."""
+    (2 labeled + 2 unlabeled scans). Run with GCDLSS_BENCH=stage2.
+
+    Scope note (BASELINE.json "voxelize + MinkUNet fwd/bwd"): the bench
+    includes every DEVICE-side stage of the training step — both plan
+    builds, the in-step LaserMix re-voxelization, all forwards/backwards,
+    mining/k-means/Hungarian/queue/EMA. The per-scan HOST quantize (~6 ms,
+    overlappable with device compute by the PrefetchLoader) happens once
+    outside the loop, exactly like the reference's dataloader-side
+    `sparse_quantize` which its step timings also exclude."""
     import jax
     import jax.numpy as jnp
 
