@@ -118,7 +118,12 @@ class SparseDownConv(nn.Module):
         ci = x.shape[0] if cols else x.shape[-1]
         w = self.param("kernel", _kaiming_conv_init(8), (8, ci, self.features))
         if cols:
-            out = down_conv(x.T, pool.parent, pool.dcode, w, self.cap_out).T
+            if (_fused.enabled_on() and pool.children is not None
+                    and _fused.pool_supported(x.shape[1], self.cap_out, ci)):
+                out = _fused.fused_pool_conv_T(x, pool.children, pool.upmap, w)
+            else:
+                out = down_conv(
+                    x.T, pool.parent, pool.dcode, w, self.cap_out).T
             return mask_cols(out, out_valid)
         out = down_conv(x, pool.parent, pool.dcode, w, self.cap_out)
         return mask_rows(out, out_valid)
@@ -136,7 +141,13 @@ class SparseUpConv(nn.Module):
         ci = x_coarse.shape[0] if cols else x_coarse.shape[-1]
         w = self.param("kernel", _kaiming_conv_init(8), (8, ci, self.features))
         if cols:
-            out = up_conv(x_coarse.T, pool.parent, pool.dcode, w).T
+            if (_fused.enabled_on() and pool.children is not None
+                    and _fused.pool_supported(
+                        x_coarse.shape[1], pool.upmap.shape[0], ci)):
+                out = _fused.fused_pool_conv_T(
+                    x_coarse, pool.upmap, pool.children, w)
+            else:
+                out = up_conv(x_coarse.T, pool.parent, pool.dcode, w).T
             return mask_cols(out, out_valid)
         out = up_conv(x_coarse, pool.parent, pool.dcode, w)
         return mask_rows(out, out_valid)

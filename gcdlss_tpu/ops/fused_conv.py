@@ -91,7 +91,8 @@ def _cpad_for(ci: int) -> int:
 
 
 def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
-                 subwin: int = None, far_cap: int = FAR_CAP):
+                 subwin: int = None, far_cap: int = FAR_CAP,
+                 n_src: int | None = None):
     """Window/sub-window starts + window-relative rulebook for the kernel.
 
     Returns (ws [NB], ss [NB, K8], relT [NB*K8, B], far (out, in, k) COO
@@ -112,6 +113,10 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
     assert window >= subwin, (
         f"window ({window}) must be >= subwin ({subwin})")
     n, k = nbr.shape
+    # the DMA'd window lives in the SOURCE buffer (the rulebook's target
+    # rows): for submanifold convs that's the same n rows, but pool convs
+    # read the other level — clip window starts against ITS length
+    n_src = n if n_src is None else n_src
     nb = n // block
     k8 = _round_up(k, 8)
     # one relayout: [N, k] -> [nb, k8, block] (pad offsets with -1)
@@ -123,9 +128,8 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
     mins = jnp.min(big, axis=2)  # [nb, k8]
     anymin = jnp.min(mins, axis=1)  # [nb]
     ws = jnp.clip(
-        jnp.where(anymin >= (1 << 30), jnp.arange(nb, dtype=jnp.int32) * block,
-                  anymin),
-        0, max(n - window, 0),
+        jnp.where(anymin >= (1 << 30), 0, anymin),
+        0, max(n_src - window, 0),
     ).astype(jnp.int32) & ~jnp.int32(127)
     ss = (
         jnp.clip(jnp.where(mins >= (1 << 30), 0, mins - ws[:, None]),
@@ -463,10 +467,11 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    n_out = nb * B  # rulebook rows; == n for submanifold convs
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((co, n) if tout else (n, co),
+        out_shape=jax.ShapeDtypeStruct((co, n_out) if tout else (n_out, co),
                                        jnp.float32),
         interpret=interpret,
     )(ws, ss, xT, relT, wflat)
@@ -486,6 +491,7 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
     cpad = 2 * xT.shape[0]
     k8 = _round_up(k, 8)
     nb = relT_rev.shape[0] // k8
+    n = nb * B  # adjoint-rulebook rows; == goT lanes for subm convs
 
     # ci_chunk sized to a ~13 MB VMEM budget: the dw output block
     # [ci_chunk, k*copad] f32 dominates at large channel counts (256-ch
@@ -795,6 +801,130 @@ def _fused_core_T_bwd(interpret, res, g_out):
 
 _fused_core_T.defvjp(lambda x, nb, w, i: _fused_core_T_fwd(x, nb, w, i),
                      _fused_core_T_bwd)
+
+
+# ---- strided pool convs (down/up k2s2) through the same kernels ---------
+#
+# A pool conv is a gather-GEMM over an explicit rulebook just like the
+# submanifold case, but its adjoint is NOT the column-reversed book: the
+# adjoint of gathering children[j, d] (down) is gathering upmap[i, d] (up)
+# with the transposed weights at the SAME offset d. The caller provides
+# both books (plan.PoolPlan.children / upmap).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_pool_core_T(xT, nbr_fwd, nbr_adj, weight, interpret):
+    out, _ = _fused_pool_core_T_fwd(xT, nbr_fwd, nbr_adj, weight, interpret)
+    return out
+
+
+def _fused_pool_core_T_fwd(xT, nbr_fwd, nbr_adj, weight, interpret):
+    ci, n_in = xT.shape
+    k, _, co = weight.shape
+    cpad = _cpad_for(ci)
+    k8 = _round_up(k, 8)
+    n_out = nbr_fwd.shape[0]
+    w_f, dbuf_f = _fwd_geometry(cpad, co, k)
+    ws, ss, relT, far, far_n = plan_windows(nbr_fwd, window=w_f, n_src=n_in)
+    xTp = _pack_cols(xT, cpad)
+    wflat = _wflat_perm(weight, cpad, k8)
+    out = _fused_fwd_core(xTp, ws, ss, relT, wflat, k=k, dbuf=dbuf_f,
+                          B=BLOCK, W=w_f, WK=SUBWIN, interpret=interpret,
+                          tout=True)  # [co, n_out]
+
+    def _with_far(o):
+        fc = far_contribution(xT.T, far, weight, n_out)
+        return o + fc.T
+
+    out = jax.lax.cond(far_n > 0, _with_far, lambda o: o, out)
+    return out, (xT, nbr_adj, weight, xTp)
+
+
+def _fused_pool_core_T_bwd(interpret, res, g_out):
+    """dx via the adjoint rulebook at the same offset index (no column
+    flip), dW accumulated over the adjoint book's (row, entry, d) pairs —
+    identical pairs to the forward book's, just enumerated from the other
+    side."""
+    xT, nbr_adj, weight, xTp = res
+    ci, n_in = xT.shape
+    k, _, co = weight.shape
+    cpad = 2 * xTp.shape[0]
+    copad = _cpad_for(co)
+    g_out = g_out.astype(jnp.float32)  # [co, n_out]
+    goT = _pack_cols(g_out, copad)
+    w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
+    ws2, ss2, relT2, far2, far_n2 = plan_windows(
+        nbr_adj, window=w2, n_src=g_out.shape[1])
+    k8 = _round_up(k, 8)
+    wmat = jnp.zeros((k, copad, cpad), jnp.bfloat16)
+    wmat = jax.lax.dynamic_update_slice(
+        wmat, weight.astype(jnp.bfloat16).transpose(0, 2, 1), (0, 0, 0))
+    wmat = wmat[:, _chan_perm(copad), :]
+    wmat_p = jnp.zeros((k8, copad, cpad), jnp.bfloat16)
+    wmat_p = jax.lax.dynamic_update_slice(wmat_p, wmat, (0, 0, 0))
+    wmat_p = wmat_p.reshape(k8 * copad, cpad)
+    dxT_pad, dw_flat = _fused_bwd_core(
+        goT, xTp, ws2, ss2, relT2, wmat_p, k=k,
+        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret, tout=True,
+    )
+    dxT = dxT_pad[:ci]  # [ci, n_in]
+    dw = dw_flat[_inv_chan_perm(cpad)].reshape(cpad, k8, copad)
+    dw = dw[:, :, _inv_chan_perm(copad)][:ci, :k, :co].transpose(1, 0, 2)
+
+    def _with_far(args):
+        dxT, dw = args
+        feats = xT.T
+        g_rows = g_out.T
+        w_adj = weight.transpose(0, 2, 1)
+        dxT = dxT + far_contribution(g_rows, far2, w_adj, n_in).T
+        far_out, far_in, far_k = far2
+        ok = (far_in >= 0)[:, None].astype(jnp.float32)
+        gx = feats[jnp.where(far_in >= 0, far_out, 0)].astype(jnp.float32) * ok
+        gg = g_rows[jnp.where(far_in >= 0, far_in, 0)] * ok
+
+        def dw_step(_, k_idx):
+            sel = (far_k == k_idx)[:, None].astype(jnp.float32)
+            return 0, jnp.dot((gx * sel).T, gg,
+                              preferred_element_type=jnp.float32)
+
+        _, dw_far = jax.lax.scan(dw_step, 0, jnp.arange(k, dtype=jnp.int32))
+        return dxT, dw + dw_far
+
+    dxT, dw = jax.lax.cond(far_n2 > 0, _with_far, lambda a: a, (dxT, dw))
+    return dxT.astype(xT.dtype), None, None, dw.astype(weight.dtype)
+
+
+_fused_pool_core_T.defvjp(
+    lambda x, nf, na, w, i: _fused_pool_core_T_fwd(x, nf, na, w, i),
+    _fused_pool_core_T_bwd)
+
+
+def fused_pool_conv_T(
+    xT: jax.Array,
+    nbr_fwd: jax.Array,
+    nbr_adj: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Strided k2s2 pool conv (down OR up) in the transposed layout.
+
+    down: nbr_fwd = pool.children [capc, 8], nbr_adj = pool.upmap [capf, 8]
+    up:   nbr_fwd = pool.upmap,  nbr_adj = pool.children
+    Returns [Co, nbr_fwd.rows] in xT's dtype."""
+    out = _fused_pool_core_T(xT, nbr_fwd, nbr_adj, weight, interpret)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[:, None]
+    return out.astype(xT.dtype)
+
+
+def pool_supported(n_in: int, n_out: int, ci: int | None = None) -> bool:
+    """Both sides need whole blocks; the window DMA sources the input (fwd)
+    and the gradient (bwd) buffers, so both must hold one window."""
+    return (n_in % BLOCK == 0 and n_out % BLOCK == 0
+            and n_in >= WINDOW and n_out >= WINDOW
+            and (ci is None or ci >= 32))
 
 
 def fused_subm_conv_T(

@@ -60,6 +60,9 @@ class LevelPlan(NamedTuple):
 class PoolPlan(NamedTuple):
     parent: jax.Array  # [cap_fine] int32 row in coarse level (cap_coarse if invalid)
     dcode: jax.Array  # [cap_fine] int32 in [0,8): which k2 kernel offset
+    # explicit k2s2 rulebooks for the fused pool-conv kernels (-1 absent):
+    children: jax.Array = None  # [cap_coarse, 8] fine row per (parent, d)
+    upmap: jax.Array = None  # [cap_fine, 8] parent row at slot d == dcode
 
 
 class UNetPlan(NamedTuple):
@@ -358,7 +361,24 @@ def build_unet_plan(
             dcode = (dbits[:, 0] << 2) | (dbits[:, 1] << 1) | dbits[:, 2]
             ph, pl_ = encode_coords(pcoord, lvalid)
             (nh, nl), _, pinv, ncount = sorted_unique(ph, pl_, caps[l + 1])
-            pools.append(PoolPlan(parent=pinv, dcode=dcode.astype(jnp.int32)))
+            capf = lcoords.shape[0]
+            capc = caps[l + 1]
+            rows_f = jnp.arange(capf, dtype=jnp.int32)
+            pok = lvalid & (pinv < capc)
+            slot = jnp.where(pok, pinv * 8 + dcode, capc * 8)
+            children = (
+                jnp.full((capc * 8,), -1, jnp.int32)
+                .at[slot].set(jnp.where(pok, rows_f, -1), mode="drop",
+                              unique_indices=True)
+                .reshape(capc, 8)
+            )
+            upmap = jnp.where(
+                pok[:, None]
+                & (dcode[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]),
+                pinv[:, None], -1,
+            ).astype(jnp.int32)
+            pools.append(PoolPlan(parent=pinv, dcode=dcode.astype(jnp.int32),
+                                  children=children, upmap=upmap))
             cur_keys = (nh, nl)
             cur_count = ncount
 

@@ -189,3 +189,70 @@ def test_fused_conv_T_interpret_matches_gather(plan_fixture=None):
                                atol=1e-3)
     dwr, dwt = np.asarray(gr[1]), np.asarray(gt[1])
     assert np.abs(dwt - dwr).max() / (np.abs(dwr).max() + 1e-9) < 0.02
+
+
+def test_fused_pool_conv_T_interpret_matches_xla():
+    """Down/up k2s2 pool convs through the fused kernel (explicit
+    children/upmap rulebooks, adjoint = the other book at the same offset)
+    match ops/conv.down_conv/up_conv in values and dX/dW."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.plan import build_unet_plan
+    from gcdlss_tpu.ops.conv import down_conv, up_conv
+    from gcdlss_tpu.ops import fused_conv as F
+
+    rng = np.random.default_rng(7)
+    caps = (4096, 2048, 1024, 512, 256)
+    pts = rng.integers(-25, 25, size=(5200, 3)).astype(np.int32)
+    b = rng.integers(0, 2, size=(5200, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(caps[0] * 0.9)]
+    coords = np.zeros((caps[0], 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((caps[0],), bool)
+    valid[: len(c)] = True
+    plan = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), caps)
+    pool = plan.pools[0]
+    capf, capc = caps[0], caps[1]
+
+    ci, co = 32, 64
+    x = (rng.standard_normal((capf, ci))
+         * np.asarray(plan.levels[0].valid)[:, None]).astype(np.float32)
+    w = (rng.standard_normal((8, ci, co)) * 0.1).astype(np.float32)
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+
+    ref = down_conv(xj.astype(jnp.bfloat16), pool.parent, pool.dcode, wj, capc)
+    out = F.fused_pool_conv_T(xj.T.astype(jnp.bfloat16), pool.children,
+                              pool.upmap, wj, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.T, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2)
+
+    mod = jnp.cos(jnp.arange(capc * co).reshape(capc, co) * 0.01)
+
+    def loss_ref(x_, w_):
+        o = down_conv(x_.astype(jnp.bfloat16), pool.parent, pool.dcode, w_,
+                      capc)
+        return jnp.sum(o.astype(jnp.float32) * mod)
+
+    def loss_T(x_, w_):
+        o = F.fused_pool_conv_T(x_.T.astype(jnp.bfloat16), pool.children,
+                                pool.upmap, w_, interpret=True).T
+        return jnp.sum(o.astype(jnp.float32) * mod)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(xj, wj)
+    gt = jax.grad(loss_T, argnums=(0, 1))(xj, wj)
+    np.testing.assert_allclose(np.asarray(gt[0]), np.asarray(gr[0]),
+                               atol=5e-2)
+    assert (np.abs(np.asarray(gt[1]) - np.asarray(gr[1])).max()
+            / (np.abs(np.asarray(gr[1])).max() + 1e-9) < 0.01)
+
+    # up direction: swap the books, W [8, co, ci]
+    xc = (rng.standard_normal((capc, co))
+          * np.asarray(plan.levels[1].valid)[:, None]).astype(np.float32)
+    wu = (rng.standard_normal((8, co, ci)) * 0.1).astype(np.float32)
+    xcj, wuj = jnp.asarray(xc), jnp.asarray(wu)
+    refu = up_conv(xcj.astype(jnp.bfloat16), pool.parent, pool.dcode, wuj)
+    outu = F.fused_pool_conv_T(xcj.T.astype(jnp.bfloat16), pool.upmap,
+                               pool.children, wuj, interpret=True)
+    np.testing.assert_allclose(np.asarray(outu.T, np.float32),
+                               np.asarray(refu, np.float32), atol=5e-2)
