@@ -199,6 +199,26 @@ class SparseBatchNorm(nn.Module):
         return mask_rows(out.astype(x.dtype), valid)
 
 
+class NormedLinearT(nn.Module):
+    """`NormedLinear` for the transposed [C, N] layout (same params)."""
+
+    features: int
+    scale: float = 10.0
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[0]
+        w = self.param(
+            "weight",
+            lambda key, shape: jax.random.uniform(key, shape, minval=-1.0, maxval=1.0),
+            (ci, self.features),
+        )
+        xn = x / jnp.maximum(jnp.linalg.norm(x, axis=0, keepdims=True), 1e-12)
+        wn = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
+        return self.scale * jax.lax.dot_general(
+            wn, xn, (((0,), (0,)), ((), ())))  # [features, N]
+
+
 class NormedLinear(nn.Module):
     """Cosine classifier: 10 * normalize(x) @ normalize(W, axis=0).
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import (SparseConv, SparseDownConv, SparseUpConv,
-                     SparseBatchNorm, NormedLinear, DenseT,
+                     SparseBatchNorm, NormedLinear, NormedLinearT, DenseT,
                      mask_rows, mask_cols, _mask)
 
 # name -> (block_type, layers). 'basic' expansion=1, 'bottleneck' expansion=4.
@@ -164,6 +164,7 @@ class MinkUNetBackbone(nn.Module):
     dtype: Any = jnp.float32  # activation/compute dtype (bf16 on TPU)
     remat: bool = False  # rematerialize residual stacks (memory vs FLOPs)
     layout: str = "rows"  # "cols" = transposed [C, N] activations (TPU)
+    out_layout: str = "rows"  # "cols": skip the exit transpose (T heads)
 
     @nn.compact
     def __call__(self, plan, feats, train: bool):
@@ -222,10 +223,10 @@ class MinkUNetBackbone(nn.Module):
                           self.remat, lay, name=f"block{5 + j}")(
                 x, lv[lvl].nbr3, lv[lvl].valid, train
             )
-        if cols:
+        if cols and self.out_layout != "cols":
             # single exit transpose back to the public [N, C] contract
             x = x.T
-        return x  # [cap0, planes[7]*exp]
+        return x  # [cap0, planes[7]*exp] (or its transpose)
 
 
 class MinkUNetSeg(nn.Module):
@@ -244,16 +245,29 @@ class MinkUNetSeg(nn.Module):
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
+        lay = default_layout()
         h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
-                             remat=self.remat, layout=default_layout(),
+                             remat=self.remat, layout=lay, out_layout=lay,
                              name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)  # heads + losses in f32
+        valid = plan.levels[0].valid
+        if lay == "cols":
+            # heads consume [C, N] directly; logits transpose is tiny and
+            # the [N, C] feats materialize only if a consumer uses them
+            # (XLA dead-code-eliminates the transpose otherwise)
+            if self.head == "cosine":
+                logitsT = NormedLinearT(self.num_classes, name="final")(h)
+            else:
+                logitsT = DenseT(self.num_classes, name="final")(h)
+            return {
+                "logits": mask_rows(logitsT.T, valid),
+                "feats": h.T,
+            }
         if self.head == "cosine":
             # cosine-prototype classifier (`multiheadminkunet.py:458-488`)
             logits = NormedLinear(self.num_classes, name="final")(h)
         else:
             logits = nn.Dense(self.num_classes, name="final")(h)
-        valid = plan.levels[0].valid
         return {
             "logits": mask_rows(logits, valid),
             "feats": h,
@@ -282,11 +296,26 @@ class MinkUNetRC(nn.Module):
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
+        lay = default_layout()
         h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
-                             remat=self.remat, layout=default_layout(),
+                             remat=self.remat, layout=lay, out_layout=lay,
                              name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)
         valid = plan.levels[0].valid
+        if lay == "cols":
+            if self.head == "cosine":
+                known = NormedLinearT(self.num_labeled, name="final")(h).T
+                ncc = NormedLinearT(self.ncc_heads, name="final2")(h).T
+            else:
+                known = DenseT(self.num_labeled, name="final")(h).T
+                ncc = DenseT(self.ncc_heads, name="final2")(h).T
+            novel = DenseT(self.num_novel, name="final3")(h).T
+            return {
+                "feats": h.T,  # DCE'd when unused (pretrain/finetune steps)
+                "logits_known": mask_rows(known, valid),
+                "logits_ncc": mask_rows(ncc, valid),
+                "logits_novel": mask_rows(novel, valid),
+            }
         if self.head == "cosine":
             known = NormedLinear(self.num_labeled, name="final")(h)
             ncc = NormedLinear(self.ncc_heads, name="final2")(h)
