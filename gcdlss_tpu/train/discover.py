@@ -102,6 +102,19 @@ class DiscoverConfig:
     calib_coeff: float = 0.05
     mse_coeff: float = 200.0
     lasermix_coeff: float = 0.1
+    # mixed-consistency branch:
+    #   lasermix — in-step LaserMix re-voxelization + pseudo-label CE
+    #              (NCCAdaptive family default)
+    #   feature  — sup feature-pair mixing rows with soft targets
+    #              (ExpMergeDiscover_PolarMix_MeanTeacher,
+    #              `exp_merge_mean_teacher.py:428-470`: PolarMix applies
+    #              dataset-side, the step mixes labeled FEATURES; the
+    #              reference class is unrunnable dead code — `:672,729`
+    #              reference a never-created `self.model` — so this is a
+    #              spec rebuild)
+    #   none     — no mixed branch
+    mix_mode: str = "lasermix"
+    mixing_ratio_feat: float = 0.1
     novel_coeff: float = 0.1
     sup_novel_coeff: float = 1.0
     ncc_coeff: float = 0.1
@@ -227,7 +240,7 @@ def discover_train_step(
     tx = make_optimizer(cfg)
     K = cfg.num_labeled_classes
     Ku = cfg.num_unlabeled_classes
-    rng, k_kmeans, k_areas = jax.random.split(state.rng, 3)
+    rng, k_kmeans, k_areas, k_featmix = jax.random.split(state.rng, 4)
 
     # ---------------- combined sup+unsup sparse tensor + plan ----------------
     coords, feats, mapped, valid = _combine_batches(sup_vb, unsup_vb, cfg)
@@ -266,24 +279,31 @@ def discover_train_step(
         ok_p & (maxp_t[srow] >= cfg.pseudo_thr), argm_t[srow], -1
     ).astype(jnp.int32)
 
-    num_areas = jax.random.choice(k_areas, jnp.asarray([3, 4, 5, 6], jnp.int32))
-    mxyz, mfeats, mlabels, mvalid = lasermix_batch(sup_pb, unsup_pb, pseudo, num_areas)
-    nscan, npt = mxyz.shape[0], mxyz.shape[1]
-    flat_xyz = mxyz.reshape(nscan * npt, 3)
-    flat_bidx = jnp.repeat(jnp.arange(nscan, dtype=jnp.int32), npt)
-    flat_valid = mvalid.reshape(-1)
-    vox = sparse_quantize(
-        flat_xyz, flat_bidx, flat_valid, cfg.voxel_size, cfg.mix_voxel_caps[0]
-    )
-    mrep_ok = vox["rep"] < nscan * npt
-    mrep = jnp.where(mrep_ok, vox["rep"], 0)
-    mix_feats0 = mfeats.reshape(nscan * npt, -1)[mrep] * mrep_ok[:, None]
-    mix_labels0 = jnp.where(mrep_ok, mlabels.reshape(-1)[mrep], -1)
-    mix_plan = build_unet_plan(vox["coords"], vox["valid"], cfg.mix_voxel_caps)
-    mix_ok = mix_plan.rep < cfg.mix_voxel_caps[0]
-    mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)
-    mix_feats0 = mix_feats0[mix_safe] * mix_ok[:, None]
-    mix_labels0 = jnp.where(mix_ok, mix_labels0[mix_safe], -1)
+    if cfg.mix_mode == "lasermix":
+        num_areas = jax.random.choice(
+            k_areas, jnp.asarray([3, 4, 5, 6], jnp.int32))
+        mxyz, mfeats, mlabels, mvalid = lasermix_batch(
+            sup_pb, unsup_pb, pseudo, num_areas)
+        nscan, npt = mxyz.shape[0], mxyz.shape[1]
+        flat_xyz = mxyz.reshape(nscan * npt, 3)
+        flat_bidx = jnp.repeat(jnp.arange(nscan, dtype=jnp.int32), npt)
+        flat_valid = mvalid.reshape(-1)
+        vox = sparse_quantize(
+            flat_xyz, flat_bidx, flat_valid, cfg.voxel_size,
+            cfg.mix_voxel_caps[0]
+        )
+        mrep_ok = vox["rep"] < nscan * npt
+        mrep = jnp.where(mrep_ok, vox["rep"], 0)
+        mix_feats0 = mfeats.reshape(nscan * npt, -1)[mrep] * mrep_ok[:, None]
+        mix_labels0 = jnp.where(mrep_ok, mlabels.reshape(-1)[mrep], -1)
+        mix_plan = build_unet_plan(
+            vox["coords"], vox["valid"], cfg.mix_voxel_caps)
+        mix_ok = mix_plan.rep < cfg.mix_voxel_caps[0]
+        mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)
+        mix_feats0 = mix_feats0[mix_safe] * mix_ok[:, None]
+        mix_labels0 = jnp.where(mix_ok, mix_labels0[mix_safe], -1)
+    else:
+        mix_plan = mix_feats0 = mix_labels0 = None
 
     # ---------------- NCC candidate mining (teacher side, no grad) -----------
     if cfg.threshold_mode in ("adaptive_logit", "hybrid"):
@@ -383,15 +403,37 @@ def discover_train_step(
         probs_s = jax.nn.softmax(dummy_s, axis=-1)
         l_mse = cfg.mse_coeff * mse_prob_loss(probs_s, probs_t, unsup_mask)
 
-        # LaserMix CE on the student's mixed forward (BN stats threaded)
-        out_mix, mut_s2 = model.apply(
-            {"params": params_s, "batch_stats": mut_s["batch_stats"]},
-            mix_plan, mix_feats0, train=True, mutable=["batch_stats"],
-        )
-        dummy_mix = assemble_dummy_logits(out_mix)
-        l_lm = cfg.lasermix_coeff * cross_entropy(
-            dummy_mix, mix_labels0, mix_plan.levels[0].valid
-        )
+        if cfg.mix_mode == "lasermix":
+            # LaserMix CE on the student's mixed forward (BN stats threaded)
+            out_mix, mut_s2 = model.apply(
+                {"params": params_s, "batch_stats": mut_s["batch_stats"]},
+                mix_plan, mix_feats0, train=True, mutable=["batch_stats"],
+            )
+            dummy_mix = assemble_dummy_logits(out_mix)
+            l_lm = cfg.lasermix_coeff * cross_entropy(
+                dummy_mix, mix_labels0, mix_plan.levels[0].valid
+            )
+        elif cfg.mix_mode == "feature":
+            # PolarMix-MT: labeled feature-pair mixing with soft targets
+            # through the raw final/final2 kernels
+            # (`exp_merge_mean_teacher.py:428-452`)
+            from .feature_mixing import mix_features
+            from ..losses import soft_cross_entropy
+            from ..models.minkunet import assemble_dummy_logits_from_heads
+
+            mixf, mixp, mixok = mix_features(
+                k_featmix, feats_s, sup_targets,
+                sup_mask & (sup_targets >= 0), K + 1,
+                mixing_ratio=cfg.mixing_ratio_feat,
+            )
+            mix_logits = assemble_dummy_logits_from_heads(
+                mixf, params_s["final"], params_s["final2"])
+            l_lm = cfg.lasermix_coeff * soft_cross_entropy(
+                mix_logits, mixp, mixok)
+            mut_s2 = mut_s
+        else:
+            l_lm = 0.0
+            mut_s2 = mut_s
 
         if cfg.use_lion:
             # LiON: energy-based OOD objectives instead of calibration

@@ -28,6 +28,14 @@ MODULE_REGISTRY: dict = {
     "ExpMergeDiscover_LaserMix_MeanTeacher_MSP_threshold": (
         "discover", dict(threshold_mode="msp", alpha=5)
     ),
+    # ---- PolarMix mean-teacher (grandparent; the reference class is dead
+    #      code — `exp_merge_mean_teacher.py:672,729` use a never-created
+    #      `self.model` — rebuilt from its spec: dataset-side PolarMix on
+    #      labeled scans + labeled feature-pair mixing, no LaserMix) ----
+    "ExpMergeDiscover_PolarMix_MeanTeacher": (
+        "discover",
+        dict(mix_mode="feature", threshold_mode="fixed_prob", alpha=3),
+    ),
     # ---- Sinkhorn-Knopp assignment family (exp.py:3290+) ----
     "ExpMixRealMeanTeacherDiscover": (
         "discover", dict(assigner="sinkhorn", threshold_mode="fixed_prob")

@@ -558,8 +558,11 @@ def main(args):
             augment=True, label_mapping=space["label_mapping"],
             unknown_labels=space["unknown_labels"],
         )
+        # PolarMix-MT mixes labeled scans dataset-side
+        # (`exp_merge_mean_teacher.py:278-303`: polarmix=True labeled only)
         lab_ds = ds_cls(cfg.dataset_path, "train", split_indices=split_idx,
-                        labeled=True, resize_aug=True, seed=SEED, **common)
+                        labeled=True, resize_aug=True, seed=SEED,
+                        polarmix="PolarMix" in cfg.module, **common)
         unlab_ds = ds_cls(cfg.dataset_path, "train", split_indices=split_idx,
                           labeled=False, seed=SEED + 1, **common)
         val_ds = ds_cls(cfg.dataset_path, "valid", voxel_size=cfg.voxel_size,

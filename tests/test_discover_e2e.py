@@ -145,6 +145,9 @@ def test_discover_variant_configs(setup):
         dict(threshold_mode="fixed_prob"),
         dict(assigner="sinkhorn"),
         dict(use_lion=True),
+        # PolarMix-MT (feature mixing, no LaserMix) + the bare variant
+        dict(mix_mode="feature", threshold_mode="fixed_prob"),
+        dict(mix_mode="none"),
     ):
         vcfg = dataclasses.replace(cfg, **overrides)
         state = create_discover_state(jax.random.PRNGKey(2), vcfg)
