@@ -11,6 +11,7 @@ from .minkunet import (
     assemble_novel_logits,
 )
 from .heads import Prototypes, CosinePrototypes, ProjectionHead, MultiHead, EquiangularPrototypes
+from .orca import MinkUnetToy18, MinkUnet34ORCA
 
 __all__ = [
     "SparseConv",

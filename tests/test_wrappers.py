@@ -7,6 +7,7 @@ from gcdlss_tpu.models.wrappers import (
     MultiHeadSelfSupMinkUnet,
     MinkUNetSegCosine,
 )
+from gcdlss_tpu.models.orca import MinkUnetToy18, MinkUnet34ORCA
 from gcdlss_tpu.models.voxelizer import Voxelizer
 from gcdlss_tpu.ops.plan import build_unet_plan
 
@@ -52,6 +53,19 @@ def test_wrapper_zoo_shapes():
     v = c.init(jax.random.PRNGKey(2), plan, feats, train=False)
     out = c.apply(v, plan, feats, train=False)
     assert out["logits"].shape == (CAP, 7)
+
+    t = MinkUnetToy18(num_classes=5, **tiny)
+    v = t.init(jax.random.PRNGKey(3), plan, feats, train=False)
+    out = t.apply(v, plan, feats, train=False)
+    assert out["logits"].shape == (CAP, 5)
+    assert out["feats"].shape[0] == CAP
+
+    o = MinkUnet34ORCA(num_classes=6, **tiny)
+    v = o.init(jax.random.PRNGKey(4), plan, feats, train=False)
+    out = o.apply(v, plan, feats, train=False)
+    assert out["logits"].shape == (CAP, 6)
+    # cosine head: logits bounded by the 10x scale
+    assert float(jnp.max(jnp.abs(out["logits"]))) <= 10.0 + 1e-5
 
 
 def test_voxelizer_modes():
