@@ -12,6 +12,7 @@ from .minkunet import (
 )
 from .heads import Prototypes, CosinePrototypes, ProjectionHead, MultiHead, EquiangularPrototypes
 from .orca import MinkUnetToy18, MinkUnet34ORCA
+from .backbone_mm import MinkUNetBackboneMM, MultiHeadMinkUnet18
 
 __all__ = [
     "SparseConv",

@@ -8,6 +8,7 @@ from gcdlss_tpu.models.wrappers import (
     MinkUNetSegCosine,
 )
 from gcdlss_tpu.models.orca import MinkUnetToy18, MinkUnet34ORCA
+from gcdlss_tpu.models.backbone_mm import MultiHeadMinkUnet18
 from gcdlss_tpu.models.voxelizer import Voxelizer
 from gcdlss_tpu.ops.plan import build_unet_plan
 
@@ -66,6 +67,20 @@ def test_wrapper_zoo_shapes():
     assert out["logits"].shape == (CAP, 6)
     # cosine head: logits bounded by the 10x scale
     assert float(jnp.max(jnp.abs(out["logits"]))) <= 10.0 + 1e-5
+
+    mm = MultiHeadMinkUnet18(num_labeled=5, num_unlabeled=2, num_heads=2,
+                             overcluster_factor=3, base_channels=4,
+                             encoder_channels=(4, 4, 8, 8),
+                             decoder_channels=(8, 8, 4, 4))
+    v = mm.init(jax.random.PRNGKey(5), plan, feats, train=False)
+    out = mm.apply(v, plan, feats, train=False)
+    assert out["logits_lab"].shape == (CAP, 5)
+    assert out["logits_unlab"].shape == (2, CAP, 2)
+    assert out["logits_unlab_over"].shape == (2, CAP, 6)
+    assert out["feats"].shape == (CAP, 4)
+    # mmdet3d topology: two-conv k3 stem + channel-asymmetric stages
+    enc = v["params"]["backbone"]
+    assert "conv_input1" in enc and "enc0_down" in enc and "dec3_blocks" in enc
 
 
 def test_voxelizer_modes():
