@@ -284,7 +284,12 @@ def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Cpad, B]
     if TOUT:
         # transposed-activation mode: out block [Co, B] — same MXU work,
-        # swapped dot operands; no output transpose anywhere
+        # swapped dot operands; no output transpose anywhere. NOTE: the
+        # contract-dim-0-of-both form IS Mosaic's native MXU orientation
+        # here — rewriting this as the "canonical" [Co,K]@[K,B] with a
+        # pre-transposed weight forced a per-grid-step weight relayout and
+        # measured 10x slower fwd (38 vs 3.7 ms at 384->256ch, 2026-08-17
+        # HW logs). Do not "fix" the orientation.
         o_ref[:] = jax.lax.dot_general(
             w_ref[:], g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -350,7 +355,8 @@ def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
 
     g = pltpu.bitcast(gst[:], jnp.bfloat16)  # [K*Copad, B]
     if TOUT:
-        # dX chunk [CiChunk, B] = wmat_chunk^T @ g (transposed-activation)
+        # dX chunk [CiChunk, B] = wmat_chunk^T @ g (transposed-activation);
+        # contract-dim-0 form is Mosaic-native — see the fwd kernel's note
         dx_ref[:] = jax.lax.dot_general(
             wmat_ref[:], g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -474,6 +480,14 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
         out_shape=jax.ShapeDtypeStruct((co, n_out) if tout else (n_out, co),
                                        jnp.float32),
         interpret=interpret,
+        # the default 16 MB scoped-VMEM budget is shared with the enclosing
+        # program's co-scheduled prefetches: the SAME 384->256ch kernel that
+        # compiles standalone OOM'd at 21.7M inside the full discover step
+        # (2026-08-17 HW logs). Self-usage tops out ~14 MB (_fwd_geometry);
+        # 32 MB leaves co-scheduling headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
     )(ws, ss, xT, relT, wflat)
 
 
@@ -549,6 +563,8 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # see the forward core's note on the shared scoped-VMEM budget
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )(ws, ss, goT, relT_rev, wmat, xT)
 
@@ -954,6 +970,11 @@ def supported(n_rows: int, ci: int | None = None,
     125-offset ci=1 stem (cpad=32, K*cpad=4000 — the XLA path runs its
     width-1 gathers at ~68 ms vs a few ms fused)."""
     ok = n_rows % BLOCK == 0 and n_rows >= WINDOW
+    # ws [nb] + ss [nb, k8] are scalar-prefetched into the 1 MB SMEM; very
+    # large levels (batch-8 stems, ~2.2M rows) overflow it at compile time
+    # and must take the gather_conv path instead
+    k8 = _round_up(kernel_volume if kernel_volume else 27, 8)
+    ok = ok and (n_rows // BLOCK) * (k8 + 1) * 4 <= 896 * 1024
     if ci is not None and kernel_volume is not None:
         small_k = kernel_volume <= 32 and ci >= 32
         stem_like = kernel_volume * _cpad_for(ci) <= 4096

@@ -152,9 +152,11 @@ def build_neighbor_map(
         # GCDLSS_PLAN_KERNEL: "2" = boundary-rank planning + in-kernel
         # two-level count (no per-query sort join, see plan_kernel.py v2
         # section); "1" = v1 (exact per-query rank join feeding the
-        # kernel); "0" = off (XLA sort-merge joins). Default flips to "2"
-        # once the v2 kernel is hardware-validated and cache-primed.
-        mode = os.environ.get("GCDLSS_PLAN_KERNEL", "0")
+        # kernel); "0" = off (XLA sort-merge joins). Default "2": v2 is
+        # hardware-validated bit-exact vs the join path (k3 6.6 ms vs
+        # 19.8, k5 9.0 vs 79.0 at 69120, 2026-08-17) and cache-primed.
+        # The `use_kernel` guard keeps CPU/interpret runs on the joins.
+        mode = os.environ.get("GCDLSS_PLAN_KERNEL", "2")
         use_kernel = (
             mode in ("1", "2")
             and pk.supported(cap, k1)

@@ -83,13 +83,16 @@ def loss_cols(a, b):
         F.fused_subm_conv_T(a, nbr, b).astype(jnp.float32) * mod.T)
 
 
-g_rows = jax.jit(jax.grad(loss_rows, argnums=(0, 1)))
-g_cols = jax.jit(jax.grad(loss_cols, argnums=(0, 1)))
+# value_and_grad, NOT grad: grad of sum(out*mod) never needs the forward
+# OUTPUT value, so XLA dead-code-eliminates the forward kernel and the
+# "fwd+bwd" timing silently measures bwd only (caught 2026-08-17)
+g_rows = jax.jit(jax.value_and_grad(loss_rows, argnums=(0, 1)))
+g_cols = jax.jit(jax.value_and_grad(loss_cols, argnums=(0, 1)))
 t0 = time.time()
-gc = g_cols(xTj, wj)
+_, gc = g_cols(xTj, wj)
 _ = np.asarray(gc[1][:1, :1, :1])
 print(f"T bwd compile+run {time.time()-t0:.1f}s", flush=True)
-gr = g_rows(xj, wj)
+_, gr = g_rows(xj, wj)
 dxr = np.asarray(gr[0], np.float32)
 dxc = np.asarray(gc[0], np.float32).T
 dwr = np.asarray(gr[1], np.float32)
