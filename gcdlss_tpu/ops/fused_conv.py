@@ -77,6 +77,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _smem_ok(n_rows: int) -> bool:
+    """ws [nb] + ss [nb, k8] are scalar-prefetched into the 1 MB SMEM and
+    the staging pads ss's minor dim to 128 lanes (measured: a [nb, 32]
+    int32 array allocated exactly nb*128*4 bytes), so very large levels
+    (batch-8 stems, 552k rows) overflow at compile time and must take the
+    gather_conv path instead."""
+    return (n_rows // BLOCK) * (128 + 1) * 4 <= 896 * 1024
+
+
 def _cpad_for(ci: int) -> int:
     # xwin is [cpad//2, W] int32 (VMEM tile (8, 128)): cpad//2 must be a
     # multiple of 8, i.e. cpad a multiple of 16; 32 keeps the bitcast-paired
@@ -937,9 +946,13 @@ def fused_pool_conv_T(
 
 def pool_supported(n_in: int, n_out: int, ci: int | None = None) -> bool:
     """Both sides need whole blocks; the window DMA sources the input (fwd)
-    and the gradient (bwd) buffers, so both must hold one window."""
+    and the gradient (bwd) buffers, so both must hold one window. The fwd
+    pass plans windows over the n_out-row book and the bwd over the
+    n_in-row book, so BOTH row counts must clear the scalar-prefetch SMEM
+    ceiling (see `_smem_ok`; the batch-8 L0 up-conv overflowed it)."""
     return (n_in % BLOCK == 0 and n_out % BLOCK == 0
             and n_in >= WINDOW and n_out >= WINDOW
+            and _smem_ok(n_in) and _smem_ok(n_out)
             and (ci is None or ci >= 32))
 
 
@@ -969,12 +982,7 @@ def supported(n_rows: int, ci: int | None = None,
     Mosaic-compilable and gst fits VMEM: k3 convs for any ci, and the
     125-offset ci=1 stem (cpad=32, K*cpad=4000 — the XLA path runs its
     width-1 gathers at ~68 ms vs a few ms fused)."""
-    ok = n_rows % BLOCK == 0 and n_rows >= WINDOW
-    # ws [nb] + ss [nb, k8] are scalar-prefetched into the 1 MB SMEM; very
-    # large levels (batch-8 stems, ~2.2M rows) overflow it at compile time
-    # and must take the gather_conv path instead
-    k8 = _round_up(kernel_volume if kernel_volume else 27, 8)
-    ok = ok and (n_rows // BLOCK) * (k8 + 1) * 4 <= 896 * 1024
+    ok = n_rows % BLOCK == 0 and n_rows >= WINDOW and _smem_ok(n_rows)
     if ci is not None and kernel_volume is not None:
         small_k = kernel_volume <= 32 and ci >= 32
         stem_like = kernel_volume * _cpad_for(ci) <= 4096

@@ -264,13 +264,13 @@ def cube_neighbor_map_kernel(key_hi, key_lo, p, has, *, k1: int,
 
 
 def supported(cap: int, k1: int) -> bool:
-    # ws [nb] + ss [nb, ncpad] are scalar-prefetched into the 1 MB SMEM;
-    # past ~900 KB the compile fails ("prefetched SMEM operand" OOM, seen
-    # at batch-8 stem levels with cap ~2.2M). Those levels fall back to the
-    # XLA sort-merge joins, which have no such ceiling.
+    # ws [nb] + ss [nb, ncpad] are scalar-prefetched into the 1 MB SMEM,
+    # and the staging pads ss's minor dim to 128 lanes: the batch-8 stem
+    # (cap 552960, nb 2160, k5) failed with an SMEM allocation of EXACTLY
+    # nb*128*4 = 1105920 bytes (2026-08-17 HW logs). Levels past the
+    # ceiling fall back to the XLA sort-merge joins.
     nb = cap // BLOCK
-    ncpad = (k1 * k1 + 7) // 8 * 8
-    smem_bytes = nb * (ncpad + 1) * 4
+    smem_bytes = nb * (128 + 1) * 4
     return (_HAS_PLTPU and cap % BLOCK == 0 and cap >= WINDOW
             and k1 in (3, 5) and smem_bytes <= 896 * 1024)
 
