@@ -77,15 +77,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _smem_ok(n_rows: int) -> bool:
-    """ws [nb] + ss [nb, k8] are scalar-prefetched into the 1 MB SMEM and
-    the staging pads ss's minor dim to 128 lanes (measured: a [nb, 32]
-    int32 array allocated exactly nb*128*4 bytes), so very large levels
-    (batch-8 stems, 552k rows) overflow at compile time and must take the
-    gather_conv path instead."""
-    return (n_rows // BLOCK) * (128 + 1) * 4 <= 896 * 1024
-
-
 def _cpad_for(ci: int) -> int:
     # xwin is [cpad//2, W] int32 (VMEM tile (8, 128)): cpad//2 must be a
     # multiple of 8, i.e. cpad a multiple of 16; 32 keeps the bitcast-paired
@@ -445,8 +436,8 @@ def _fwd_geometry(cpad: int, co: int, k: int):
 @functools.partial(jax.jit,
                    static_argnames=("k", "B", "W", "WK", "dbuf", "interpret",
                                     "tout"))
-def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
-                    interpret=False, tout=False):
+def _fused_fwd_one(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
+                   interpret=False, tout=False):
     """wflat is k8-padded: [k8*cpad, co] with zero rows for offsets >= k, so
     stale gst rows beyond the real offsets contribute nothing to the dot.
     With `tout` the output is the transposed [co, n] block layout."""
@@ -503,8 +494,8 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
 @functools.partial(jax.jit,
                    static_argnames=("k", "B", "W", "WK", "interpret",
                                     "tout"))
-def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
-                    interpret=False, tout=False):
+def _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
+                   interpret=False, tout=False):
     """Returns (dX [N, Cpad] f32, dW_flat [Cpad, K8*Copad] f32).
 
     wmat is k8-padded ([k8*copad, cpad], zero rows beyond the real offsets)
@@ -576,6 +567,86 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
             vmem_limit_bytes=32 * 1024 * 1024,
         ),
     )(ws, ss, goT, relT_rev, wmat, xT)
+
+
+# --------------------------------------------------------------------------
+# grid-chunking drivers
+#
+# The scalar-prefetch staging pads ss's minor dim to 128 lanes in the 1 MB
+# SMEM (measured: a [nb, 32] int32 ss allocated exactly nb*128*4 bytes), so
+# one pallas_call tops out around nb ~ 1790 blocks. Levels beyond that
+# (batch-8 stems: nb = 2160) are split into equal chunks of <= NB_MAX grid
+# blocks over the SAME Mosaic kernel: the rulebook arrays slice cleanly
+# along nb (window starts are absolute rows into the full source buffer,
+# which stays a whole ANY-space operand), padded tail blocks carry rel = -1
+# and gather exact zeros, and the per-chunk dw partials sum. Single-chunk
+# calls emit byte-identical programs to the unchunked form, preserving the
+# persistent compile cache.
+# --------------------------------------------------------------------------
+
+NB_MAX = int(os.environ.get("GCDLSS_FUSED_NB_MAX", "1536"))
+
+
+def _chunk_geometry(nb: int):
+    nch = -(-nb // NB_MAX)
+    nbc = -(-nb // nch)
+    return nch, nbc, nch * nbc
+
+
+def _pad_books(ws, ss, relT, k8, B, nb, nbp):
+    ws_p = jnp.concatenate([ws, jnp.zeros((nbp - nb,), jnp.int32)])
+    ss_p = jnp.concatenate(
+        [ss, jnp.zeros((nbp - nb, ss.shape[1]), jnp.int32)], axis=0)
+    rel_p = jnp.concatenate(
+        [relT, jnp.full(((nbp - nb) * k8, B), -1, jnp.int32)], axis=0)
+    return ws_p, ss_p, rel_p
+
+
+def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
+                    interpret=False, tout=False):
+    k8 = _round_up(k, 8)
+    nb = ws.shape[0]
+    if nb <= NB_MAX:
+        return _fused_fwd_one(xT, ws, ss, relT, wflat, k=k, B=B, W=W, WK=WK,
+                              dbuf=dbuf, interpret=interpret, tout=tout)
+    nch, nbc, nbp = _chunk_geometry(nb)
+    ws_p, ss_p, rel_p = _pad_books(ws, ss, relT, k8, B, nb, nbp)
+    outs = [
+        _fused_fwd_one(
+            xT, ws_p[c * nbc:(c + 1) * nbc], ss_p[c * nbc:(c + 1) * nbc],
+            rel_p[c * nbc * k8:(c + 1) * nbc * k8], wflat,
+            k=k, B=B, W=W, WK=WK, dbuf=dbuf, interpret=interpret, tout=tout)
+        for c in range(nch)
+    ]
+    out = jnp.concatenate(outs, axis=1 if tout else 0)
+    return out[:, :nb * B] if tout else out[:nb * B]
+
+
+def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
+                    interpret=False, tout=False):
+    k8 = _round_up(k, 8)
+    nb = relT_rev.shape[0] // k8
+    if nb <= NB_MAX:
+        return _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, k=k, B=B,
+                              W=W, WK=WK, interpret=interpret, tout=tout)
+    nch, nbc, nbp = _chunk_geometry(nb)
+    ws_p, ss_p, rel_p = _pad_books(ws, ss, relT_rev, k8, B, nb, nbp)
+    # xT is blocked by the nb grid axis in the backward kernel (it feeds the
+    # dW contraction), so its lane dim must cover the padded blocks too
+    xT_p = jnp.concatenate(
+        [xT, jnp.zeros((xT.shape[0], (nbp - nb) * B), xT.dtype)], axis=1)
+    dxs, dw = [], None
+    for c in range(nch):
+        dx_c, dw_c = _fused_bwd_one(
+            goT, xT_p[:, c * nbc * B:(c + 1) * nbc * B],
+            ws_p[c * nbc:(c + 1) * nbc], ss_p[c * nbc:(c + 1) * nbc],
+            rel_p[c * nbc * k8:(c + 1) * nbc * k8], wmat,
+            k=k, B=B, W=W, WK=WK, interpret=interpret, tout=tout)
+        dxs.append(dx_c)
+        dw = dw_c if dw is None else dw + dw_c
+    dx = jnp.concatenate(dxs, axis=1 if tout else 0)
+    dx = dx[:, :nb * B] if tout else dx[:nb * B]
+    return dx, dw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -948,11 +1019,10 @@ def pool_supported(n_in: int, n_out: int, ci: int | None = None) -> bool:
     """Both sides need whole blocks; the window DMA sources the input (fwd)
     and the gradient (bwd) buffers, so both must hold one window. The fwd
     pass plans windows over the n_out-row book and the bwd over the
-    n_in-row book, so BOTH row counts must clear the scalar-prefetch SMEM
-    ceiling (see `_smem_ok`; the batch-8 L0 up-conv overflowed it)."""
+    n_in-row book (rows past the scalar-prefetch SMEM ceiling are handled
+    by the grid-chunking drivers)."""
     return (n_in % BLOCK == 0 and n_out % BLOCK == 0
             and n_in >= WINDOW and n_out >= WINDOW
-            and _smem_ok(n_in) and _smem_ok(n_out)
             and (ci is None or ci >= 32))
 
 
@@ -982,7 +1052,7 @@ def supported(n_rows: int, ci: int | None = None,
     Mosaic-compilable and gst fits VMEM: k3 convs for any ci, and the
     125-offset ci=1 stem (cpad=32, K*cpad=4000 — the XLA path runs its
     width-1 gathers at ~68 ms vs a few ms fused)."""
-    ok = n_rows % BLOCK == 0 and n_rows >= WINDOW and _smem_ok(n_rows)
+    ok = n_rows % BLOCK == 0 and n_rows >= WINDOW
     if ci is not None and kernel_volume is not None:
         small_k = kernel_volume <= 32 and ci >= 32
         stem_like = kernel_volume * _cpad_for(ci) <= 4096

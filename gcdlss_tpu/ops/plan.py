@@ -159,7 +159,7 @@ def build_neighbor_map(
         mode = os.environ.get("GCDLSS_PLAN_KERNEL", "2")
         use_kernel = (
             mode in ("1", "2")
-            and pk.supported(cap, k1)
+            and pk.supported(cap, k1, version=int(mode))
             and jax.default_backend() == "tpu"
         )
         if use_kernel:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 
 import numpy as np
 import jax
@@ -263,16 +264,22 @@ def cube_neighbor_map_kernel(key_hi, key_lo, p, has, *, k1: int,
     return nbr, overflow
 
 
-def supported(cap: int, k1: int) -> bool:
-    # ws [nb] + ss [nb, ncpad] are scalar-prefetched into the 1 MB SMEM,
-    # and the staging pads ss's minor dim to 128 lanes: the batch-8 stem
-    # (cap 552960, nb 2160, k5) failed with an SMEM allocation of EXACTLY
-    # nb*128*4 = 1105920 bytes (2026-08-17 HW logs). Levels past the
-    # ceiling fall back to the XLA sort-merge joins.
+# ws [nb] + ss [nb, ncpad] are scalar-prefetched into the 1 MB SMEM, and
+# the staging pads ss's minor dim to 128 lanes: the batch-8 stem (cap
+# 552960, nb 2160, k5) failed with an SMEM allocation of EXACTLY
+# nb*128*4 = 1105920 bytes (2026-08-17 HW logs). v2 splits bigger maps into
+# grid chunks of <= NB_MAX blocks (see cube_neighbor_map_kernel_v2); v1 is
+# not chunked and stays gated.
+NB_MAX = int(os.environ.get("GCDLSS_PLAN_NB_MAX", "1536"))
+
+
+def supported(cap: int, k1: int, version: int = 2) -> bool:
     nb = cap // BLOCK
-    smem_bytes = nb * (128 + 1) * 4
-    return (_HAS_PLTPU and cap % BLOCK == 0 and cap >= WINDOW
-            and k1 in (3, 5) and smem_bytes <= 896 * 1024)
+    ok = (_HAS_PLTPU and cap % BLOCK == 0 and cap >= WINDOW
+          and k1 in (3, 5))
+    if version != 2:
+        ok = ok and nb * (128 + 1) * 4 <= 896 * 1024
+    return ok
 
 
 # --------------------------------------------------------------------------
@@ -369,7 +376,7 @@ def plan_cube_prepare_v2(key_hi, key_lo, bnd, k1: int, block: int,
 
 
 def _kernel_v2(ws_ref, ss_ref, tbl_hbm, own_ref, o_ref, win, sem,
-               *, B, W, WK, K1, NC1, CC):
+               *, B, W, WK, K1, NC1, CC, OFF=0):
     """v2 grid step: like `_kernel` but the per-query candidate base is
     recovered IN-KERNEL by a two-level strided count over the sub-window
     (stride 32 bracket -> stride 4 refine), so no per-query rank array is
@@ -412,10 +419,13 @@ def _kernel_v2(ws_ref, ss_ref, tbl_hbm, own_ref, o_ref, win, sem,
             ql8 = pltpu.repeat(
                 jnp.where(vld, lo_own + dlo, _SENT_LO), 8, axis=0)
             if center:
-                # exact base: query row is i*B + cch*128 + lane; its first
-                # candidate is that row - r (clamped at the array start),
-                # sub-window-relative
-                rel2 = (i * B + cch * 128 - r
+                # exact base: query row is OFF + i*B + cch*128 + lane (OFF =
+                # grid-chunk row offset, 0 unchunked — the python-level
+                # branch keeps the unchunked trace byte-identical for the
+                # compile cache); its first candidate is that row - r
+                # (clamped at the array start), sub-window-relative
+                row0 = (i * B + OFF) if OFF else (i * B)
+                rel2 = (row0 + cch * 128 - r
                         - ws_ref[i] - base_ss) + lane_iota
                 rel2 = jnp.maximum(rel2, -(ws_ref[i] + base_ss))
             else:
@@ -513,26 +523,56 @@ def cube_neighbor_map_kernel_v2(key_hi, key_lo, valid, *, k1: int,
     ws, ss, tbl, far, far_count = plan_cube_prepare_v2(
         key_hi, key_lo, bnd, k1, block, window, subwin)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, block), lambda i, ws, ss: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((ncols * 8, block), lambda i, ws, ss: (0, i)),
-        scratch_shapes=[
-            pltpu.VMEM((8, window), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    nbrT8 = pl.pallas_call(
-        functools.partial(_kernel_v2, B=block, W=window, WK=subwin, K1=k1,
-                          NC1=nc1, CC=cc),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ncols * 8, cap), jnp.int32),
-        interpret=interpret,
-    )(ws, ss, tbl, tbl)
+    def call(ws_c, ss_c, own_c, nb_c, off):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb_c,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, block), lambda i, ws, ss: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((ncols * 8, block),
+                                   lambda i, ws, ss: (0, i)),
+            scratch_shapes=[
+                pltpu.VMEM((8, window), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_v2, B=block, W=window, WK=subwin,
+                              K1=k1, NC1=nc1, CC=cc, OFF=off),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ncols * 8, nb_c * block),
+                                           jnp.int32),
+            interpret=interpret,
+        )(ws_c, ss_c, tbl, own_c)
+
+    if nb <= NB_MAX:
+        nbrT8 = call(ws, ss, tbl, nb, 0)
+    else:
+        # grid-chunked: the scalar-prefetch ss stages at nb*128*4 bytes of
+        # the 1 MB SMEM (minor dim padded to 128 lanes) — split into equal
+        # chunks over the same kernel. Padded tail blocks query sentinel
+        # keys and resolve to -1; the center column needs the chunk's
+        # absolute row offset (OFF).
+        nch = -(-nb // NB_MAX)
+        nbc = -(-nb // nch)
+        nbp = nch * nbc
+        ws_p = jnp.concatenate([ws, jnp.zeros((nbp - nb,), jnp.int32)])
+        ss_p = jnp.concatenate(
+            [ss, jnp.zeros((nbp - nb, ss.shape[1]), jnp.int32)], axis=0)
+        pad = jnp.full((2, (nbp - nb) * block), _SENT_HI, jnp.int32)
+        own_p = jnp.concatenate(
+            [tbl, jnp.concatenate(
+                [pad, jnp.zeros((6, (nbp - nb) * block), jnp.int32)],
+                axis=0)], axis=1)
+        chunks = [
+            call(ws_p[c * nbc:(c + 1) * nbc], ss_p[c * nbc:(c + 1) * nbc],
+                 own_p[:, c * nbc * block:(c + 1) * nbc * block], nbc,
+                 c * nbc * block)
+            for c in range(nch)
+        ]
+        nbrT8 = jnp.concatenate(chunks, axis=1)[:, :cap]
     nbrT = nbrT8.reshape(ncols, 8, cap)[:, :k1].reshape(kk, cap)
     nbr, overflow = repair_far_pairs_v2(
         nbrT.T, key_hi, key_lo, valid, far, k1, block)

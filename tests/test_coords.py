@@ -211,3 +211,32 @@ def test_plan_kernel_v2_interpret_matches_join():
     out = P._build_cube_kernel_map(lcoords, lvalid, uh, ul, 3,
                                    interpret=True, version=2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_plan_kernel_v2_chunked_matches_join(monkeypatch):
+    """Grid-chunked v2 (NB_MAX exceeded: per-chunk OFF for the center
+    column, sentinel-padded tail blocks) equals the per-offset join."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gcdlss_tpu.ops.coords import encode_coords, sorted_unique, decode_keys, SENTINEL_HI
+    from gcdlss_tpu.ops import plan as P
+    from gcdlss_tpu.ops import plan_kernel as pk
+
+    rng = np.random.default_rng(31)
+    cap = 2304  # nb = 9; NB_MAX=2 -> 5 chunks of 2 with 1 padded block
+    pts = rng.integers(-14, 14, size=(2900, 3)).astype(np.int32)
+    b = rng.integers(0, 3, size=(2900, 1)).astype(np.int32)
+    c = np.unique(np.concatenate([b, pts], 1), axis=0)[: int(cap * 0.9)]
+    coords = np.zeros((cap, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.zeros((cap,), bool)
+    valid[: len(c)] = True
+    hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+    (uh, ul), rep, inv, cnt = sorted_unique(hi, lo, cap)
+    lvalid = uh != SENTINEL_HI
+    lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
+    ref = P._join_offsets(lcoords, lvalid, uh, ul, P.KERNEL_OFFSETS_3, 32)
+    monkeypatch.setattr(pk, "NB_MAX", 2)
+    out = P._build_cube_kernel_map(lcoords, lvalid, uh, ul, 3,
+                                   interpret=True, version=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -256,3 +256,47 @@ def test_fused_pool_conv_T_interpret_matches_xla():
                                pool.children, wuj, interpret=True)
     np.testing.assert_allclose(np.asarray(outu.T, np.float32),
                                np.asarray(refu, np.float32), atol=5e-2)
+
+
+def test_fused_chunked_matches_unchunked(monkeypatch):
+    """Grid-chunking (NB_MAX exceeded, with a padded tail chunk) is exact:
+    fwd, dX and dW equal the single-call path in interpret mode."""
+    rng = np.random.default_rng(7)
+    cap = 2048  # nb = 8 blocks; NB_MAX=3 -> 3 chunks of 3 with 1 padded
+    ci, co = 16, 32
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci, "k3")
+    k = nbr.shape[1]
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    mod = jnp.asarray(rng.standard_normal((cap, co)).astype(np.float32))
+
+    def loss(f, wt):
+        return jnp.sum(fc.fused_subm_conv(f, nbr, wt, interpret=True)
+                       .astype(jnp.float32) * mod)
+
+    ref_out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    ref_dx, ref_dw = jax.grad(loss, argnums=(0, 1))(feats, w)
+
+    monkeypatch.setattr(fc, "NB_MAX", 3)
+    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    dx, dw = jax.grad(loss, argnums=(0, 1))(feats, w)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
+    # dW sums per-chunk partials, so association differs from the
+    # single-call accumulation
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_chunked_T_matches_unchunked(monkeypatch):
+    """Same for the transposed-activation layout."""
+    rng = np.random.default_rng(8)
+    cap = 2048
+    ci, co = 16, 32
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci, "k3")
+    k = nbr.shape[1]
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    xT = feats.T
+    ref = fc.fused_subm_conv_T(xT, nbr, w, interpret=True)
+    monkeypatch.setattr(fc, "NB_MAX", 3)
+    out = fc.fused_subm_conv_T(xT, nbr, w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
