@@ -112,6 +112,8 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
     # GCDLSS_FUSED_WINDOW/SUBWIN are user-tunable)
     assert window >= subwin, (
         f"window ({window}) must be >= subwin ({subwin})")
+    assert subwin // 128 <= 127, (
+        f"subwin ({subwin}) exceeds the 7-bit ntile pack (max 16256)")
     n, k = nbr.shape
     # the DMA'd window lives in the SOURCE buffer (the rulebook's target
     # rows): for submanifold convs that's the same n rows, but pool convs
@@ -131,13 +133,29 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
         jnp.where(anymin >= (1 << 30), 0, anymin),
         0, max(n_src - window, 0),
     ).astype(jnp.int32) & ~jnp.int32(127)
-    ss = (
-        jnp.clip(jnp.where(mins >= (1 << 30), 0, mins - ws[:, None]),
+    # ragged gather planning: rulebooks are monotone per offset, so the rows
+    # a 128-lane chunk needs span far fewer tiles than the sub-window. Per
+    # (block, offset, 128-chunk): a 128-aligned chunk base plus the number
+    # of 128-tiles actually touched, packed into the base's free low 7 bits
+    # (base is 128-aligned; ntile <= subwin/128 <= 16). The kernel's tile
+    # scan predicates on ntile and skips absent tiles — measured avg 1.09
+    # of 4 tiles needed at L0 k3, 0.74 for the k5 stem (49% of chunks
+    # entirely empty). ss is [nb, k8*nch] int32, chunk-minor.
+    nch = block // 128
+    bigc = big.reshape(nb, k8, nch, 128)
+    minc = jnp.min(bigc, axis=3)  # [nb, k8, nch]
+    base = (
+        jnp.clip(jnp.where(minc >= (1 << 30), 0, minc - ws[:, None, None]),
                  0, window - subwin).astype(jnp.int32) & ~jnp.int32(127)
-    )  # [nb, k8]
-    rel = nbrT - (ws[:, None, None] + ss[:, :, None])
-    near = (nbrT >= 0) & (rel >= 0) & (rel < subwin)
-    relT = jnp.where(near, rel, -1).astype(jnp.int32).reshape(nb * k8, block)
+    )
+    rel = bigc - (ws[:, None, None, None] + base[:, :, :, None])
+    near = (bigc < (1 << 30)) & (rel >= 0) & (rel < subwin)
+    relc = jnp.where(near, rel, -1).astype(jnp.int32)
+    maxrel = jnp.max(relc, axis=3)  # [nb, k8, nch]
+    ntile = jnp.where(maxrel < 0, 0, (maxrel >> 7) + 1).astype(jnp.int32)
+    ss = (base | ntile).reshape(nb, k8 * nch)
+    relT = relc.reshape(nb * k8, block)
+    near = near.reshape(nb, k8, block)
 
     far_mask = (nbrT >= 0) & ~near  # [nb, k8, block]
     far_count = jnp.sum(far_mask.astype(jnp.int32))
@@ -208,22 +226,48 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
     unrolled on v5e (tools/fori_diag_bench.py) — Mosaic lowers the dynamic
     sublane indexing badly. Unrolling costs one slow Mosaic compile per conv
     shape (minutes through this rig's remote-compile tunnel, then cached by
-    the persistent compilation cache)."""
+    the persistent compilation cache).
+
+    Ragged tile skip: ss packs (128-aligned chunk base | ntile) per
+    (block, offset, 128-lane chunk) — see plan_windows. The WK//128-tile
+    scan dispatches on ntile through static variants (1, 2, full) under
+    pl.when, so chunks whose rows span one or two tiles (the monotone-
+    rulebook common case) skip the rest, and empty chunks skip the window
+    reads entirely."""
+    WKT = WK // 128
+    nch = B // 128
+    variants = sorted({1, min(2, WKT), WKT})
     for k in range(K):
         rel2 = rel_ref[k:k + 1, :]  # [1, B]
-        base = pl.multiple_of(ss_ref[i, k], 128)
         relb = pltpu.repeat(rel2, C2, axis=0)  # [C2, B]
         div = relb >> 7
         mod = relb & 127
-        for cch in range(B // 128):
+        for cch in range(nch):
+            ssv = ss_ref[i, k * nch + cch]
+            nt = ssv & 127
+            base = pl.multiple_of(ssv - nt, 128)
             dv = div[:, cch * 128:(cch + 1) * 128]
             idx = mod[:, cch * 128:(cch + 1) * 128]
-            acc = jnp.zeros((C2, 128), jnp.int32)
-            for t in range(WK // 128):
-                tile = win[:, pl.ds(pl.multiple_of(base + t * 128, 128), 128)]
-                part = jnp.take_along_axis(tile, idx, axis=1)
-                acc = jnp.where(dv == t, part, acc)
-            gst[k * C2:(k + 1) * C2, cch * 128:(cch + 1) * 128] = acc
+
+            @pl.when(nt == 0)
+            def _(k=k, cch=cch):
+                gst[k * C2:(k + 1) * C2, cch * 128:(cch + 1) * 128] = (
+                    jnp.zeros((C2, 128), jnp.int32))
+
+            for vi, v in enumerate(variants):
+                lo = variants[vi - 1] if vi else 0
+                pred = ((nt > lo) & (nt <= v)) if v < WKT else (nt > lo)
+
+                @pl.when(pred)
+                def _(v=v, dv=dv, idx=idx, base=base, k=k, cch=cch):
+                    acc = jnp.zeros((C2, 128), jnp.int32)
+                    for t in range(v):
+                        tile = win[:, pl.ds(
+                            pl.multiple_of(base + t * 128, 128), 128)]
+                        part = jnp.take_along_axis(tile, idx, axis=1)
+                        acc = jnp.where(dv == t, part, acc)
+                    gst[k * C2:(k + 1) * C2,
+                        cch * 128:(cch + 1) * 128] = acc
     if K8 > K:
         # zero the k8-padding rows: they are uninitialized scratch and feed
         # the big dot against (zero) padded weight rows — 0 * NaN = NaN
@@ -587,8 +631,16 @@ def _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
 NB_MAX = int(os.environ.get("GCDLSS_FUSED_NB_MAX", "1536"))
 
 
-def _chunk_geometry(nb: int):
-    nch = -(-nb // NB_MAX)
+def _nb_limit(k8: int, B: int) -> int:
+    # ss stages [nb, k8 * (B//128)] int32 into SMEM, lane-padded to 128:
+    # wide-offset books (the k5 stem: 128*2 = 256 lanes) halve the block
+    # budget relative to the k3 default
+    lanes = max(128, k8 * (B // 128))
+    return min(NB_MAX, (896 * 1024 // 4) // lanes)
+
+
+def _chunk_geometry(nb: int, nb_max: int):
+    nch = -(-nb // nb_max)
     nbc = -(-nb // nch)
     return nch, nbc, nch * nbc
 
@@ -606,10 +658,11 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
                     interpret=False, tout=False):
     k8 = _round_up(k, 8)
     nb = ws.shape[0]
-    if nb <= NB_MAX:
+    nb_max = _nb_limit(k8, B)
+    if nb <= nb_max:
         return _fused_fwd_one(xT, ws, ss, relT, wflat, k=k, B=B, W=W, WK=WK,
                               dbuf=dbuf, interpret=interpret, tout=tout)
-    nch, nbc, nbp = _chunk_geometry(nb)
+    nch, nbc, nbp = _chunk_geometry(nb, nb_max)
     ws_p, ss_p, rel_p = _pad_books(ws, ss, relT, k8, B, nb, nbp)
     outs = [
         _fused_fwd_one(
@@ -626,10 +679,11 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
                     interpret=False, tout=False):
     k8 = _round_up(k, 8)
     nb = relT_rev.shape[0] // k8
-    if nb <= NB_MAX:
+    nb_max = _nb_limit(k8, B)
+    if nb <= nb_max:
         return _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, k=k, B=B,
                               W=W, WK=WK, interpret=interpret, tout=tout)
-    nch, nbc, nbp = _chunk_geometry(nb)
+    nch, nbc, nbp = _chunk_geometry(nb, nb_max)
     ws_p, ss_p, rel_p = _pad_books(ws, ss, relT_rev, k8, B, nb, nbp)
     # xT is blocked by the nb grid axis in the backward kernel (it feeds the
     # dW contraction), so its lane dim must cover the padded blocks too

@@ -54,7 +54,9 @@ nbr = plan.levels[0].nbr3
 feats = (jnp.asarray(rng.standard_normal((N, CI)).astype(np.float32))
          * jnp.asarray(valid)[:, None]).astype(jnp.bfloat16)
 w = jnp.asarray(rng.standard_normal((27, CI, CO)).astype(np.float32) * 0.1)
-ws, ss, relT, far, _ = jax.jit(fc.plan_windows)(nbr)
+# this diagnostic's inline kernels predate the ragged per-chunk ss format
+from legacy_plan import plan_windows_legacy
+ws, ss, relT, _ = jax.jit(plan_windows_legacy)(nbr)
 
 B, W, WK, K = 256, 2048, 512, 27
 cpad = 128

@@ -58,7 +58,9 @@ feats = (jnp.asarray(rng.standard_normal((N, CI)).astype(np.float32))
          * jnp.asarray(valid)[:, None]).astype(jnp.bfloat16)
 w = jnp.asarray(rng.standard_normal((27, CI, CO)).astype(np.float32) * 0.1)
 
-ws, ss, relT, far, far_count = jax.jit(fc.plan_windows)(nbr)
+# this diagnostic's inline kernels predate the ragged per-chunk ss format
+from legacy_plan import plan_windows_legacy
+ws, ss, relT, far_count = jax.jit(plan_windows_legacy)(nbr)
 print("far:", int(far_count), flush=True)
 
 B = int(os.environ.get("BLK", fc.BLOCK))
@@ -68,7 +70,7 @@ K = 27
 cpad = 128
 C2 = cpad // 2
 NB = N // B
-ws, ss, relT, far, far_count = jax.jit(lambda nbr: fc.plan_windows(
+ws, ss, relT, far_count = jax.jit(lambda nbr: plan_windows_legacy(
     nbr, block=B, window=W, subwin=WK))(nbr)
 print(f"geom B={B} W={W} WK={WK} far={int(far_count)}", flush=True)
 

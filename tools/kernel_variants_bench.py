@@ -61,7 +61,11 @@ feats = (jnp.asarray(rng.standard_normal((N, CI)).astype(np.float32))
          * jnp.asarray(valid)[:, None]).astype(jnp.bfloat16)
 w = jnp.asarray(rng.standard_normal((27, CI, CO)).astype(np.float32) * 0.1)
 
-ws, ss, relT, far, far_count = jax.jit(fc.plan_windows)(nbr)
+# the inline diagnostic kernels below predate the production kernel's
+# packed per-chunk ss format — plan with the matching legacy scheme
+from legacy_plan import plan_windows_legacy
+
+ws, ss, relT, far_count = jax.jit(plan_windows_legacy)(nbr)
 print("far:", int(far_count))
 
 B, W, WK = fc.BLOCK, fc.WINDOW, fc.SUBWIN
