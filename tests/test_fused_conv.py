@@ -101,6 +101,51 @@ def test_fused_grads_match_gather():
     )
 
 
+def test_ragged_variant_dispatch_exact():
+    """Adversarial rulebook that drives every ragged-gather variant: per
+    128-lane chunk, rows spread over the full subwin (ntile = WK//128),
+    exactly one tile (ntile = 1), two tiles (ntile = 2), or no neighbors at
+    all (ntile = 0). The kernel's pl.when dispatch must agree with the
+    oracle on every row."""
+    rng = np.random.default_rng(7)
+    cap, ci, co, k = 2048, 16, 16, 27
+    B, WK = fc.BLOCK, fc.SUBWIN
+    nbr = np.full((cap, k), -1, np.int32)
+    for blk in range(cap // B):
+        base = blk * B
+        for cch in range(B // 128):
+            lane0 = base + cch * 128
+            mode = (blk * (B // 128) + cch) % 4
+            for i in range(128):
+                row = lane0 + i
+                if mode == 0:      # full spread across all WK//128 tiles
+                    nbr[row, : k - 1] = base + (
+                        (i * 137 + np.arange(k - 1) * 61) % min(WK, cap - base)
+                    )
+                elif mode == 1:    # single tile
+                    nbr[row, : k - 1] = base + ((i * 7 + np.arange(k - 1)) % 128)
+                elif mode == 2:    # exactly two tiles
+                    nbr[row, : k - 1] = base + 128 + (
+                        (i * 11 + np.arange(k - 1) * 3) % 256)
+                # mode 3: all -1 (empty chunk)
+        # every row keeps a valid center so the output row is well-defined
+        nbr[base:base + B, k - 1] = np.arange(base, base + B)
+    nbr = jnp.asarray(np.minimum(nbr, cap - 1))
+    feats = jnp.asarray(
+        rng.standard_normal((cap, ci)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    ref = gather_conv(feats, nbr, w)
+    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+    # the plan really is ragged: all four ntile classes must be present
+    ws, ss, relT, far, far_n = fc.plan_windows(nbr)
+    ntile = np.asarray(ss) & 127
+    assert {0, 1, 2, WK // 128} <= set(np.unique(ntile).tolist())
+
+
 def test_supported_predicate():
     assert not fc.supported(fc.WINDOW - fc.BLOCK)
     assert not fc.supported(fc.WINDOW + 1)
