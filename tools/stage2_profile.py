@@ -151,6 +151,33 @@ def mix_phase(sup_pb, unsup_pb, pseudo):
 pseudo = jnp.zeros(unsup_pb["voxel_row"].shape, jnp.int32)
 mix_plan, _ = t("lasermix+quantize+mixed plan (276k)", mix_phase,
                 sup_pb, unsup_pb, pseudo)
+
+
+# ---- phase 3b: the same, split into its three stages --------------------------
+@jax.jit
+def mix_only(sup_pb, unsup_pb, pseudo):
+    return lasermix_batch(sup_pb, unsup_pb, pseudo, jnp.asarray(4, jnp.int32))
+
+mxyz, mfeats, mlabels, mvalid = t("  lasermix bands only", mix_only,
+                                  sup_pb, unsup_pb, pseudo)
+
+
+@jax.jit
+def quantize_only(mxyz, mvalid):
+    nscan, npt = mxyz.shape[0], mxyz.shape[1]
+    return sparse_quantize(
+        mxyz.reshape(nscan * npt, 3),
+        jnp.repeat(jnp.arange(nscan, dtype=jnp.int32), npt),
+        mvalid.reshape(-1), cfg.voxel_size, cfg.mix_voxel_caps[0])
+
+vox = t("  device quantize only", quantize_only, mxyz, mvalid)
+
+
+@jax.jit
+def mixplan_only(coords, valid):
+    return build_unet_plan(coords, valid, cfg.mix_voxel_caps)
+
+_ = t("  mixed plan only", mixplan_only, vox["coords"], vox["valid"])
 mix_feats0 = jnp.zeros((cfg.mix_voxel_caps[0], 1), jnp.float32)
 mix_labels0 = jnp.zeros((cfg.mix_voxel_caps[0],), jnp.int32)
 
@@ -210,6 +237,22 @@ mapped0 = jnp.where(ok, mapped[jnp.where(ok, plan.rep, 0)], -1)
 t("student fwd+bwd (combined+mixed)", student_grads,
   state.params_s, state.batch_stats_s, plan, feats0, mapped0,
   mix_plan, mix_feats0, mix_labels0, n=5)
+
+
+# ---- phase 5b: combined-only grads (mixed share = 5 minus 5b) ------------------
+@jax.jit
+def student_grads_combined(params_s, bstats_s, plan, feats0, mapped0):
+    def loss_fn(p):
+        out_s, _ = model.apply(
+            {"params": p, "batch_stats": bstats_s},
+            plan, feats0, train=True, mutable=["batch_stats"])
+        return cross_entropy(assemble_dummy_logits(out_s), mapped0,
+                             plan.levels[0].valid)
+
+    return jax.value_and_grad(loss_fn)(params_s)
+
+t("  student fwd+bwd combined only", student_grads_combined,
+  state.params_s, state.batch_stats_s, plan, feats0, mapped0, n=5)
 
 
 # ---- phase 6: optimizer + EMA tree updates ------------------------------------
