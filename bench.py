@@ -192,12 +192,17 @@ def stage2_main():
     )
 
     P = POINTS_PER_SCAN
-    half = 138240
+    # total scans per step (split evenly sup/unsup); default 4 = the
+    # north-star 2+2 config and emits byte-identical programs to it
+    nscans = int(_os.environ.get("GCDLSS_BENCH_S2_SCANS", "4"))
+    assert nscans % 2 == 0 and nscans >= 2
+    half = 69120 * (nscans // 2)
     cap0 = half * 2
     cfg = DiscoverConfig(
         num_labeled_classes=17, num_unlabeled_classes=2, num_classes=19,
         unknown_label=17, voxel_caps=default_caps(cap0), sup_voxel_cap=half,
-        mix_voxel_caps=default_caps(276480), num_sup_scans=2, point_cap=P,
+        mix_voxel_caps=default_caps(cap0), num_sup_scans=nscans // 2,
+        point_cap=P,
         voxel_size=VOXEL_SIZE, arch="MinkUNet34", dtype="bfloat16",
         cand_cap=4096, queue_slots=20, queue_per_slot=1024, kmeans_iters=15,
         steps_per_epoch=1000,
@@ -244,8 +249,8 @@ def stage2_main():
         }
         return vb, pb
 
-    sup_vb, sup_pb = mk_side(2, half)
-    unsup_vb, unsup_pb = mk_side(2, cap0 - half)
+    sup_vb, sup_pb = mk_side(nscans // 2, half)
+    unsup_vb, unsup_pb = mk_side(nscans // 2, cap0 - half)
     state = create_discover_state(jax.random.PRNGKey(0), cfg)
     state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
     jax.block_until_ready(m["loss"])
@@ -259,9 +264,11 @@ def stage2_main():
         json.dumps(
             {
                 "metric": "stage2_scans_per_sec_per_chip",
-                "value": round(4 / dt, 3),
-                "unit": "scans/sec/chip (Stage-2 discovery step, 2 sup + 2 unsup x 80k pts)",
-                "vs_baseline": round(4 / dt / H100_REFERENCE_SCANS_PER_SEC, 3),
+                "value": round(nscans / dt, 3),
+                "unit": (f"scans/sec/chip (Stage-2 discovery step, "
+                         f"{nscans // 2} sup + {nscans // 2} unsup x 80k pts)"),
+                "vs_baseline": round(
+                    nscans / dt / H100_REFERENCE_SCANS_PER_SEC, 3),
             }
         )
     )
