@@ -153,6 +153,10 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
     relc = jnp.where(near, rel, -1).astype(jnp.int32)
     maxrel = jnp.max(relc, axis=3)  # [nb, k8, nch]
     ntile = jnp.where(maxrel < 0, 0, (maxrel >> 7) + 1).astype(jnp.int32)
+    if os.environ.get("GCDLSS_FUSED_RAGGED", "1") == "0":
+        # bisection fallback: scan every tile of the sub-window for non-empty
+        # chunks (the kernel's full-variant branch), keeping per-chunk bases
+        ntile = jnp.where(ntile > 0, subwin // 128, 0)
     ss = (base | ntile).reshape(nb, k8 * nch)
     relT = relc.reshape(nb * k8, block)
     near = near.reshape(nb, k8, block)

@@ -141,9 +141,12 @@ def test_ragged_variant_dispatch_exact():
         rtol=0.05, atol=0.05,
     )
     # the plan really is ragged: all four ntile classes must be present
-    ws, ss, relT, far, far_n = fc.plan_windows(nbr)
-    ntile = np.asarray(ss) & 127
-    assert {0, 1, 2, WK // 128} <= set(np.unique(ntile).tolist())
+    # (unless the GCDLSS_FUSED_RAGGED=0 bisection fallback collapses them)
+    import os
+    if os.environ.get("GCDLSS_FUSED_RAGGED", "1") != "0":
+        ws, ss, relT, far, far_n = fc.plan_windows(nbr)
+        ntile = np.asarray(ss) & 127
+        assert {0, 1, 2, WK // 128} <= set(np.unique(ntile).tolist())
 
 
 def test_supported_predicate():
