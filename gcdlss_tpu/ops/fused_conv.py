@@ -245,6 +245,9 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
     # (avg reads 0.110 vs 0.116) while costing ~40% more unrolled Mosaic
     # code, which is minutes of remote compile per conv shape on this rig
     variants = sorted({1, WKT})
+    # one unconditional zero of the whole scratch (covers the ~90% empty
+    # chunks and the k8 padding rows) beats 2*K*nch predicated small stores
+    gst[:] = jnp.zeros((K8 * C2, B), jnp.int32)
     for k in range(K):
         rel2 = rel_ref[k:k + 1, :]  # [1, B]
         relb = pltpu.repeat(rel2, C2, axis=0)  # [C2, B]
@@ -256,11 +259,6 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
             base = pl.multiple_of(ssv - nt, 128)
             dv = div[:, cch * 128:(cch + 1) * 128]
             idx = mod[:, cch * 128:(cch + 1) * 128]
-
-            @pl.when(nt == 0)
-            def _(k=k, cch=cch):
-                gst[k * C2:(k + 1) * C2, cch * 128:(cch + 1) * 128] = (
-                    jnp.zeros((C2, 128), jnp.int32))
 
             for vi, v in enumerate(variants):
                 lo = variants[vi - 1] if vi else 0
@@ -276,10 +274,6 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
                         acc = jnp.where(dv == t, part, acc)
                     gst[k * C2:(k + 1) * C2,
                         cch * 128:(cch + 1) * 128] = acc
-    if K8 > K:
-        # zero the k8-padding rows: they are uninitialized scratch and feed
-        # the big dot against (zero) padded weight rows — 0 * NaN = NaN
-        gst[K * C2:K8 * C2, :] = jnp.zeros(((K8 - K) * C2, B), jnp.int32)
 
 
 def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
