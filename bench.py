@@ -115,7 +115,7 @@ def main():
         vox = sparse_quantize(
             pts, bidx, jnp.ones(pts.shape[0], bool), VOXEL_SIZE, cap0
         )
-        plan = build_unet_plan(vox["coords"], vox["valid"], caps)
+        plan = build_unet_plan(vox["coords"], vox["valid"], caps, presorted=True)
         npts = pts.shape[0]
         rep_ok = vox["rep"] < npts
         # features: constant remission=0.5 stand-in; labels via representative

@@ -32,7 +32,8 @@ def _sweep_fwd(params, batch_stats, vb, pb, cfg):
     """One eval forward: voxel-level dummy probs + feats, and the
     voxel-row per point (for point-level scoring like
     `discover_eval_step`)."""
-    plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps)
+    plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps,
+                           presorted=True)
     n_in = vb["coords"].shape[0]
     ok = plan.rep < n_in
     safe = jnp.where(ok, plan.rep, 0)

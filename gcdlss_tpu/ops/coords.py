@@ -108,6 +108,59 @@ def sorted_unique(
     return (uniq_hi, uniq_lo), rep, inverse, count
 
 
+def sorted_unique_presorted(
+    hi: jax.Array,
+    lo: jax.Array,
+    capacity: int,
+):
+    """`sorted_unique` for inputs whose VALID rows are already key-sorted.
+
+    Host quantize (`data/quantize_np.py`, `csrc/voxelizer.cpp`) and the
+    device `sparse_quantize` all emit voxels sorted by packed key, and
+    batch concatenation (`train/discover._combine_batches`) preserves the
+    lex (b,x,y,z) order, so the production plan build never needs the
+    level-0 lexsort — only a validity compaction (sentinel pad rows sit
+    mid-stream at side boundaries) and an adjacent-compare dedup.
+    Duplicates are fine (they are adjacent by sortedness). Same returns
+    as `sorted_unique`; bit-identical on sorted inputs (tested).
+    """
+    n = hi.shape[0]
+    valid = hi != SENTINEL_HI
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    posc = jnp.where(valid, pos, n)  # invalid rows drop out of the scatter
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sh = jnp.full((n,), SENTINEL_HI, jnp.int32).at[posc].set(
+        hi, mode="drop", unique_indices=True)
+    sl = jnp.full((n,), SENTINEL_LO, jnp.int32).at[posc].set(
+        lo, mode="drop", unique_indices=True)
+    order = jnp.full((n,), n, jnp.int32).at[posc].set(
+        idx, mode="drop", unique_indices=True)
+    valid_sorted = sh != SENTINEL_HI
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1]),
+        ]
+    )
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    count = jnp.sum(first & valid_sorted).astype(jnp.int32)
+    gid_clamped = jnp.where((gid < capacity) & valid_sorted, gid, capacity)
+    # inverse for original rows: gid at the row's compacted position
+    gid_ext = jnp.concatenate(
+        [gid_clamped, jnp.full((1,), capacity, jnp.int32)])
+    inverse = gid_ext[jnp.minimum(posc, n)]
+    uniq_hi = jnp.full((capacity,), SENTINEL_HI, jnp.int32).at[gid_clamped].set(
+        jnp.where(valid_sorted, sh, SENTINEL_HI), mode="drop"
+    )
+    uniq_lo = jnp.full((capacity,), SENTINEL_LO, jnp.int32).at[gid_clamped].set(
+        jnp.where(valid_sorted, sl, SENTINEL_LO), mode="drop"
+    )
+    rep = jnp.full((capacity,), n, jnp.int32).at[gid_clamped].min(
+        jnp.where(valid_sorted, order, n).astype(jnp.int32), mode="drop"
+    )
+    return (uniq_hi, uniq_lo), rep, inverse, count
+
+
 def decode_keys(hi: jax.Array, lo: jax.Array) -> jax.Array:
     """Inverse of encode_coords → [N,4] int32 (b,x,y,z). Sentinel rows undefined."""
     b = hi // FIELD

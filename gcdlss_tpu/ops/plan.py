@@ -34,6 +34,7 @@ from .coords import (
     SENTINEL_LO,
     encode_coords,
     sorted_unique,
+    sorted_unique_presorted,
     decode_keys,
 )
 from .join import sorted_join
@@ -302,6 +303,7 @@ def build_unet_plan(
     caps: tuple,
     num_levels: int = 5,
     stem_kernel: int = 5,
+    presorted: bool = False,
 ) -> UNetPlan:
     """Build the full per-batch plan from stride-1 voxel coords.
 
@@ -312,10 +314,15 @@ def build_unet_plan(
       caps: static per-level capacities, len == num_levels.
       num_levels: number of stride levels (5 for MinkUNet: 1,2,4,8,16).
       stem_kernel: stem kernel size at level 0 (5 for MinkUNet34).
+      presorted: valid rows of `coords` are already (b,x,y,z)-lex sorted
+        (true for host/device quantize output and their batch concats) —
+        skips the level-0 lexsort. Pool levels always re-sort: parent keys
+        of sorted children are NOT sorted (x>>1 ties reorder across y/z).
     """
     assert len(caps) == num_levels
     hi, lo = encode_coords(coords, valid)
-    (uh, ul), rep, inverse, count = sorted_unique(hi, lo, caps[0])
+    uniq0 = sorted_unique_presorted if presorted else sorted_unique
+    (uh, ul), rep, inverse, count = uniq0(hi, lo, caps[0])
 
     # the 27 k=3 offsets are a subset of the 125 k=5 stem offsets, so level 0
     # gets ONE join (the stem map) and slices its k3 columns out of it

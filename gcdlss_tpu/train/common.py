@@ -74,7 +74,8 @@ def plan_and_gather(batch: dict, caps: tuple):
     Returns (plan, feats0, labels0, mapped0) where index i refers to the
     plan's level-0 row i.
     """
-    plan = build_unet_plan(batch["coords"], batch["valid"], caps)
+    plan = build_unet_plan(batch["coords"], batch["valid"], caps,
+                           presorted=True)
     n = batch["coords"].shape[0]
     rep = plan.rep
     ok = rep < n

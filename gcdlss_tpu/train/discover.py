@@ -245,7 +245,7 @@ def discover_train_step(
     # ---------------- combined sup+unsup sparse tensor + plan ----------------
     coords, feats, mapped, valid = _combine_batches(sup_vb, unsup_vb, cfg)
     sup_cap = cfg.sup_voxel_cap
-    plan = build_unet_plan(coords, valid, cfg.voxel_caps)
+    plan = build_unet_plan(coords, valid, cfg.voxel_caps, presorted=True)
     n_in = coords.shape[0]
     ok = plan.rep < n_in
     safe = jnp.where(ok, plan.rep, 0)
@@ -297,7 +297,7 @@ def discover_train_step(
         mix_feats0 = mfeats.reshape(nscan * npt, -1)[mrep] * mrep_ok[:, None]
         mix_labels0 = jnp.where(mrep_ok, mlabels.reshape(-1)[mrep], -1)
         mix_plan = build_unet_plan(
-            vox["coords"], vox["valid"], cfg.mix_voxel_caps)
+            vox["coords"], vox["valid"], cfg.mix_voxel_caps, presorted=True)
         mix_ok = mix_plan.rep < cfg.mix_voxel_caps[0]
         mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)
         mix_feats0 = mix_feats0[mix_safe] * mix_ok[:, None]
@@ -549,7 +549,8 @@ def discover_eval_step(
     preds = argmax over [K known | Ku novel] (NCC column dropped), mapped to
     train-label ids, expanded to points; returns the confusion increment."""
     model = make_model(cfg)
-    plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps)
+    plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps,
+                           presorted=True)
     n_in = vb["coords"].shape[0]
     ok = plan.rep < n_in
     safe = jnp.where(ok, plan.rep, 0)

@@ -366,7 +366,7 @@ def finetune_extra_train_step(
     model = make_model(cfg)
     tx = make_sgd(cfg, make_lr_schedule(cfg))
     coords, feats, mapped, valid = _combine_batches(sup_vb, unsup_vb, cfg)
-    plan = build_unet_plan(coords, valid, cfg.voxel_caps)
+    plan = build_unet_plan(coords, valid, cfg.voxel_caps, presorted=True)
     n_in = coords.shape[0]
     ok = plan.rep < n_in
     safe = jnp.where(ok, plan.rep, 0)

@@ -179,7 +179,8 @@ class ExpMergeDiscoverLaserMixMeanTeacherNCCAdaptive:
                 from ..ops.plan import build_unet_plan
                 from ..models.minkunet import assemble_novel_logits
 
-                plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps)
+                plan = build_unet_plan(vb["coords"], vb["valid"], cfg.voxel_caps,
+                                       presorted=True)
                 ok = plan.rep < vb["coords"].shape[0]
                 safe = jnp_.where(ok, plan.rep, 0)
                 feats0 = vb["feats"][safe] * ok[:, None].astype(vb["feats"].dtype)

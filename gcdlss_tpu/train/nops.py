@@ -226,7 +226,7 @@ def nops_train_step(state: NopsState, sup_vb: dict, unsup_vb: dict, cfg: NopsCon
     rng, k_kmeans, k_mix = jax.random.split(state.rng, 3)
 
     coords, feats, mapped, valid = _combine_batches(sup_vb, unsup_vb, cfg)
-    plan = build_unet_plan(coords, valid, cfg.voxel_caps)
+    plan = build_unet_plan(coords, valid, cfg.voxel_caps, presorted=True)
     n_in = coords.shape[0]
     ok = plan.rep < n_in
     safe = jnp.where(ok, plan.rep, 0)
@@ -356,7 +356,8 @@ def swav_train_step(
 
     def fwd(params, bstats, svb, uvb):
         coords, feats, mapped, valid = _combine_batches(svb, uvb, cfg)
-        plan = build_unet_plan(coords, valid, cfg.voxel_caps)
+        plan = build_unet_plan(coords, valid, cfg.voxel_caps,
+                               presorted=True)
         n_in = coords.shape[0]
         ok = plan.rep < n_in
         safe = jnp.where(ok, plan.rep, 0)

@@ -77,7 +77,7 @@ def create_pretrain_state(rng: jax.Array, cfg: PretrainConfig) -> TrainState:
     # hundreds of ops one-by-one (pathological over a remote-TPU tunnel)
     @jax.jit
     def _init(rng, coords, valid):
-        plan = build_unet_plan(coords, valid, caps)
+        plan = build_unet_plan(coords, valid, caps, presorted=True)
         feats = jnp.zeros((cap0, cfg.in_channels), jnp.float32)
         variables = model.init(rng, plan, feats, train=False)
         return TrainState(

@@ -25,7 +25,8 @@ def scan_uncertainty(params, batch_stats, batch: dict, cfg: FineTuneConfig):
     """Mean entropy of the dummy logits over one scan's valid voxels
     (`exp.py:2934-2944`)."""
     model = make_model(cfg)
-    plan = build_unet_plan(batch["coords"], batch["valid"], cfg.voxel_caps)
+    plan = build_unet_plan(batch["coords"], batch["valid"], cfg.voxel_caps,
+                           presorted=True)
     n_in = batch["coords"].shape[0]
     ok = plan.rep < n_in
     safe = jnp.where(ok, plan.rep, 0)

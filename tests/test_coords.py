@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -240,3 +241,74 @@ def test_plan_kernel_v2_chunked_matches_join(monkeypatch):
     out = P._build_cube_kernel_map(lcoords, lvalid, uh, ul, 3,
                                    interpret=True, version=2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sorted_unique_presorted_matches_sort_path():
+    """Presorted fast path is bit-identical to the sort path on inputs whose
+    valid rows are key-sorted, including mid-stream sentinel pads (batch
+    concat boundaries) and duplicate keys."""
+    from gcdlss_tpu.ops.coords import sorted_unique_presorted
+
+    rng = np.random.default_rng(11)
+    for cap, n_side in [(64, 40), (500, 300), (37, 100)]:
+        sides = []
+        for b in range(2):
+            m = rng.integers(n_side // 2, n_side - 4)
+            c = rng.integers(-20, 20, size=(m, 3)).astype(np.int32)
+            c = np.unique(
+                np.concatenate([np.full((m, 1), b, np.int32), c], axis=1),
+                axis=0)
+            # plant duplicates (stay adjacent under sortedness)
+            c = np.repeat(c, rng.integers(1, 3, size=len(c)), axis=0)[:n_side]
+            pad = np.zeros((n_side - len(c), 4), np.int32)
+            sides.append((np.concatenate([c, pad]),
+                          np.arange(n_side) < len(c)))
+        coords = np.concatenate([s[0] for s in sides])
+        valid = np.concatenate([s[1] for s in sides])
+        hi, lo = encode_coords(jnp.asarray(coords), jnp.asarray(valid))
+        ref = sorted_unique(hi, lo, cap)
+        fast = sorted_unique_presorted(hi, lo, cap)
+        for r, f, name in zip(ref, fast, ["keys", "rep", "inverse", "count"]):
+            np.testing.assert_array_equal(
+                np.asarray(jax.tree_util.tree_leaves(r)),
+                np.asarray(jax.tree_util.tree_leaves(f)), err_msg=name)
+
+
+def test_build_unet_plan_presorted_identical():
+    from gcdlss_tpu.ops.plan import build_unet_plan
+
+    rng = np.random.default_rng(12)
+    n, cap = 512, 512
+    pts = rng.uniform(-10, 10, size=(int(n * 0.8), 3))
+    q = np.floor(pts / 0.4).astype(np.int32)
+    c = np.unique(
+        np.concatenate([np.zeros((len(q), 1), np.int32), q], axis=1), axis=0)
+    coords = np.zeros((n, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.arange(n) < len(c)
+    caps = (cap, cap // 2, 256, 256, 256)
+    p0 = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), caps)
+    p1 = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), caps,
+                         presorted=True)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_presorted_plan_on_device_quantize_output():
+    """The mixed branch feeds `sparse_quantize` output straight into a
+    presorted plan build — quantize output voxels must satisfy the
+    sortedness contract."""
+    from gcdlss_tpu.ops.voxelize import sparse_quantize
+    from gcdlss_tpu.ops.plan import build_unet_plan
+
+    rng = np.random.default_rng(13)
+    npts, cap = 4096, 1024
+    pts = jnp.asarray(rng.uniform(-8, 8, size=(npts, 3)).astype(np.float32))
+    bidx = jnp.asarray(rng.integers(0, 2, npts).astype(np.int32))
+    pvalid = jnp.asarray(rng.random(npts) < 0.9)
+    vox = sparse_quantize(pts, bidx, pvalid, 0.25, cap)
+    caps = (cap, cap // 2, 256, 256, 256)
+    p0 = build_unet_plan(vox["coords"], vox["valid"], caps)
+    p1 = build_unet_plan(vox["coords"], vox["valid"], caps, presorted=True)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
