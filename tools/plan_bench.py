@@ -57,8 +57,16 @@ def t(label, f, *args, n=10):
 whole = jax.jit(lambda c, v: build_unet_plan(c, v, caps))
 t("whole plan", whole, coords, valid, n=5)
 
+whole_ps = jax.jit(lambda c, v: build_unet_plan(c, v, caps, presorted=True))
+t("whole plan (presorted)", whole_ps, coords, valid, n=5)
+
 uniq = jax.jit(lambda c, v: sorted_unique(*encode_coords(c, v), caps[0]))
 (uh, ul), rep, inv, cnt = t("level0 unique", uniq, coords, valid)
+
+from gcdlss_tpu.ops.coords import sorted_unique_presorted
+uniq_ps = jax.jit(
+    lambda c, v: sorted_unique_presorted(*encode_coords(c, v), caps[0]))
+t("level0 unique (presorted)", uniq_ps, coords, valid)
 
 lvalid = uh != SENTINEL_HI
 lcoords = jnp.where(lvalid[:, None], decode_keys(uh, ul), 0)
