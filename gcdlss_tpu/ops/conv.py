@@ -26,6 +26,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _zeros_like_vma(shape, *refs):
+    """Zeros carrying the refs' combined varying-manual-axes type: scan
+    carries inside `jax.shard_map` must match their body outputs'
+    device-variance, so a plain-constant init fails the vma check
+    (scan-vma rule)."""
+    z = jnp.zeros(shape, jnp.float32)
+    axes = set()
+    for r in refs:
+        axes |= set(getattr(jax.typeof(r), "vma", ()) or ())
+    if axes:
+        z = jax.lax.pcast(z, tuple(axes), to="varying")
+    return z
+
+
 def _gather_conv_fwd_impl(feats, nbr, weight, precision):
     n = nbr.shape[0]
     co = weight.shape[2]
@@ -41,7 +55,7 @@ def _gather_conv_fwd_impl(feats, nbr, weight, precision):
             None,
         )
 
-    acc0 = jnp.zeros((n, co), jnp.float32)
+    acc0 = _zeros_like_vma((n, co), feats, nbr)
     acc, _ = jax.lax.scan(step, acc0, (nbr.T, weight))
     return acc
 
@@ -90,7 +104,8 @@ def _gc_bwd(precision, symmetric_adjoint, res, g_out):
             return dx, dW_k
 
         dx, dW = jax.lax.scan(
-            step, jnp.zeros(feats.shape, jnp.float32), (nbr.T[::-1], weight)
+            step, _zeros_like_vma(feats.shape, feats, nbr, g_out),
+            (nbr.T[::-1], weight)
         )
         return dx.astype(feats.dtype), None, dW.astype(weight.dtype)
 
@@ -118,7 +133,8 @@ def _gc_bwd(precision, symmetric_adjoint, res, g_out):
         return dx.at[safe].add(contrib, mode="drop"), None
 
     dx, _ = jax.lax.scan(
-        step_dx, jnp.zeros(feats.shape, jnp.float32), (nbr.T, weight)
+        step_dx, _zeros_like_vma(feats.shape, feats, nbr, g_out),
+        (nbr.T, weight)
     )
     return dx.astype(feats.dtype), None, dW.astype(weight.dtype)
 
@@ -191,7 +207,8 @@ def _bulk_bwd(symmetric_adjoint, res, g_out):
         return dx.at[safe_k].add(c, mode="drop"), None
 
     dx, _ = jax.lax.scan(
-        step_dx, jnp.zeros(feats.shape, jnp.float32), (nbr.T, weight)
+        step_dx, _zeros_like_vma(feats.shape, feats, nbr, g_out),
+        (nbr.T, weight)
     )
     return dx.astype(feats.dtype), None, dW.astype(weight.dtype)
 
