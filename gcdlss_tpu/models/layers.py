@@ -15,6 +15,7 @@ import flax.linen as nn
 
 from ..ops.conv import gather_conv, down_conv, up_conv, masked_batch_norm_stats
 from ..ops import fused_conv as _fused
+from ..parallel import voxel_shard as _vs
 
 
 def _kaiming_conv_init(k: int):
@@ -79,6 +80,8 @@ class SparseConv(nn.Module):
     kernel_volume: int = 27
     use_bias: bool = False
     layout: str = "rows"
+    sp_axis: str | None = None  # voxel-sharded mode (inside shard_map)
+    sp_halo: int = 0
 
     @nn.compact
     def __call__(self, x, nbr, valid):
@@ -91,6 +94,12 @@ class SparseConv(nn.Module):
             (self.kernel_volume, ci, self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        if self.sp_axis is not None:
+            assert not cols, "voxel sharding runs the rows-layout XLA path"
+            out, ovf = _vs.sp_gather_conv(
+                x, nbr, w, b, halo=self.sp_halo, axis_name=self.sp_axis)
+            self.sow("sp_overflow", "conv", ovf)
+            return mask_rows(out, valid)
         fused_ok = _fused.enabled_on() and _fused.supported(n, ci, nbr.shape[1])
         if cols:
             if fused_ok:
@@ -111,12 +120,21 @@ class SparseDownConv(nn.Module):
     features: int
     cap_out: int
     layout: str = "rows"
+    sp_axis: str | None = None
+    sp_halo: int = 0
 
     @nn.compact
     def __call__(self, x, pool, out_valid):
         cols = self.layout == "cols"
         ci = x.shape[0] if cols else x.shape[-1]
         w = self.param("kernel", _kaiming_conv_init(8), (8, ci, self.features))
+        if self.sp_axis is not None:
+            assert not cols, "voxel sharding runs the rows-layout XLA path"
+            out, ovf = _vs.sp_down_conv(
+                x, pool.parent, pool.dcode, w, self.cap_out,
+                halo=self.sp_halo, axis_name=self.sp_axis)
+            self.sow("sp_overflow", "down", ovf)
+            return mask_rows(out.astype(x.dtype), out_valid)
         if cols:
             if (_fused.enabled_on() and pool.children is not None
                     and _fused.pool_supported(x.shape[1], self.cap_out, ci)):
@@ -134,12 +152,21 @@ class SparseUpConv(nn.Module):
 
     features: int
     layout: str = "rows"
+    sp_axis: str | None = None
+    sp_halo: int = 0
 
     @nn.compact
     def __call__(self, x_coarse, pool, out_valid):
         cols = self.layout == "cols"
         ci = x_coarse.shape[0] if cols else x_coarse.shape[-1]
         w = self.param("kernel", _kaiming_conv_init(8), (8, ci, self.features))
+        if self.sp_axis is not None:
+            assert not cols, "voxel sharding runs the rows-layout XLA path"
+            out, ovf = _vs.sp_up_conv(
+                x_coarse, pool.parent, pool.dcode, w,
+                halo=self.sp_halo, axis_name=self.sp_axis)
+            self.sow("sp_overflow", "up", ovf)
+            return mask_rows(out.astype(x_coarse.dtype), out_valid)
         if cols:
             if (_fused.enabled_on() and pool.children is not None
                     and _fused.pool_supported(
@@ -164,6 +191,7 @@ class SparseBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     layout: str = "rows"
+    sp_axis: str | None = None  # psum batch stats over the voxel shards
 
     @nn.compact
     def __call__(self, x, valid, use_running_average: bool):
@@ -177,7 +205,10 @@ class SparseBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            if cols:
+            if self.sp_axis is not None:
+                assert not cols
+                mean, var, cnt = _vs.sp_bn_stats(x, valid, self.sp_axis)
+            elif cols:
                 xf = x.astype(jnp.float32)
                 m = valid[None, :].astype(jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)

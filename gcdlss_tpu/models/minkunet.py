@@ -56,10 +56,13 @@ class BasicBlock(nn.Module):
     planes: int
     dtype: Any = jnp.float32
     layout: str = "rows"
+    sp_axis: Any = None
+    sp_halo: int = 0
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
         lay = self.layout
+        sp = dict(sp_axis=self.sp_axis, sp_halo=self.sp_halo)
         cax = 0 if lay == "cols" else -1
         dense = (lambda f, name: DenseT(f, use_bias=False, dtype=self.dtype,
                                         name=name)) if lay == "cols" else (
@@ -67,15 +70,18 @@ class BasicBlock(nn.Module):
                                      name=name))
         residual = x
         out = SparseConv(self.planes, kernel_volume=nbr.shape[1], layout=lay,
-                         name="conv1")(x, nbr, valid)
-        out = SparseBatchNorm(layout=lay, name="norm1")(out, valid, not train)
+                         name="conv1", **sp)(x, nbr, valid)
+        out = SparseBatchNorm(layout=lay, name="norm1",
+                              sp_axis=self.sp_axis)(out, valid, not train)
         out = nn.relu(out)
         out = SparseConv(self.planes, kernel_volume=nbr.shape[1], layout=lay,
-                         name="conv2")(out, nbr, valid)
-        out = SparseBatchNorm(layout=lay, name="norm2")(out, valid, not train)
+                         name="conv2", **sp)(out, nbr, valid)
+        out = SparseBatchNorm(layout=lay, name="norm2",
+                              sp_axis=self.sp_axis)(out, valid, not train)
         if x.shape[cax] != self.planes:
             residual = dense(self.planes, "proj")(x)
-            residual = SparseBatchNorm(layout=lay, name="proj_norm")(
+            residual = SparseBatchNorm(layout=lay, name="proj_norm",
+                                       sp_axis=self.sp_axis)(
                 residual, valid, not train)
         return _mask(nn.relu(out + residual), valid, lay)
 
@@ -86,6 +92,8 @@ class Bottleneck(nn.Module):
     planes: int
     dtype: Any = jnp.float32
     layout: str = "rows"
+    sp_axis: Any = None
+    sp_halo: int = 0
     EXPANSION = 4
 
     @nn.compact
@@ -96,21 +104,23 @@ class Bottleneck(nn.Module):
                                         name=name)) if lay == "cols" else (
             lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype,
                                      name=name))
+        bn = lambda name: SparseBatchNorm(layout=lay, name=name,
+                                          sp_axis=self.sp_axis)
         residual = x
         out_ch = self.planes * self.EXPANSION
         out = dense(self.planes, "conv1")(x)
-        out = SparseBatchNorm(layout=lay, name="norm1")(out, valid, not train)
+        out = bn("norm1")(out, valid, not train)
         out = nn.relu(out)
         out = SparseConv(self.planes, kernel_volume=nbr.shape[1], layout=lay,
+                         sp_axis=self.sp_axis, sp_halo=self.sp_halo,
                          name="conv2")(out, nbr, valid)
-        out = SparseBatchNorm(layout=lay, name="norm2")(out, valid, not train)
+        out = bn("norm2")(out, valid, not train)
         out = nn.relu(out)
         out = dense(out_ch, "conv3")(out)
-        out = SparseBatchNorm(layout=lay, name="norm3")(out, valid, not train)
+        out = bn("norm3")(out, valid, not train)
         if x.shape[cax] != out_ch:
             residual = dense(out_ch, "proj")(x)
-            residual = SparseBatchNorm(layout=lay, name="proj_norm")(
-                residual, valid, not train)
+            residual = bn("proj_norm")(residual, valid, not train)
         return _mask(nn.relu(out + residual), valid, lay)
 
 
@@ -129,6 +139,8 @@ class _ResLayer(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     layout: str = "rows"
+    sp_axis: Any = None
+    sp_halo: int = 0
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
@@ -137,6 +149,7 @@ class _ResLayer(nn.Module):
             cls = nn.remat(cls, static_argnums=(4,))
         for i in range(self.blocks):
             x = cls(self.planes, self.dtype, self.layout,
+                    self.sp_axis, self.sp_halo,
                     name=f"block{i}")(x, nbr, valid, train)
         return x
 
@@ -168,6 +181,11 @@ class MinkUNetBackbone(nn.Module):
     remat: bool = False  # rematerialize residual stacks (memory vs FLOPs)
     layout: str = "rows"  # "cols" = transposed [C, N] activations (TPU)
     out_layout: str = "rows"  # "cols": skip the exit transpose (T heads)
+    sp_axis: Any = None  # voxel-sharding mesh axis (run inside shard_map)
+    # static halos per map, (stem, subm0..4, pool0..3); size them from
+    # parallel.voxel_shard.required_halos and watch the sown "sp_overflow"
+    # counters (non-zero -> halos too small for this batch)
+    sp_halos: tuple = ()
 
     @nn.compact
     def __call__(self, plan, feats, train: bool):
@@ -179,6 +197,11 @@ class MinkUNetBackbone(nn.Module):
         lay = self.layout
         cols = lay == "cols"
         cax = 0 if cols else -1
+        sp = self.sp_axis
+        if sp is not None:
+            assert not cols, "voxel sharding uses the rows layout"
+            assert len(self.sp_halos) == 10, "need (stem, subm0..4, pool0..3)"
+        hs = self.sp_halos or (0,) * 10
         lv = plan.levels
         pools = plan.pools
         caps = [l.coords.shape[0] for l in lv]
@@ -189,10 +212,12 @@ class MinkUNetBackbone(nn.Module):
 
         # ---- stem (k=5, stride 1) ----
         x = SparseConv(self.init_dim, kernel_volume=plan.stem_nbr.shape[1],
-                       layout=lay, name="conv0p1s1")(
+                       layout=lay, sp_axis=sp, sp_halo=hs[0],
+                       name="conv0p1s1")(
             feats, plan.stem_nbr, lv[0].valid
         )
-        x = SparseBatchNorm(layout=lay, name="bn0")(x, lv[0].valid, not train)
+        x = SparseBatchNorm(layout=lay, sp_axis=sp, name="bn0")(
+            x, lv[0].valid, not train)
         out_p1 = nn.relu(x)
 
         # ---- encoder ----
@@ -200,14 +225,15 @@ class MinkUNetBackbone(nn.Module):
         x = out_p1
         for i in range(4):
             x = SparseDownConv(x.shape[cax], caps[i + 1], layout=lay,
+                               sp_axis=sp, sp_halo=hs[6 + i],
                                name=f"conv{i + 1}s2")(
                 x, pools[i], lv[i + 1].valid
             )
-            x = SparseBatchNorm(layout=lay, name=f"bn{i + 1}")(
+            x = SparseBatchNorm(layout=lay, sp_axis=sp, name=f"bn{i + 1}")(
                 x, lv[i + 1].valid, not train)
             x = nn.relu(x)
             x = _ResLayer(kind, p[i], layers[i], self.dtype, self.remat, lay,
-                          name=f"block{i + 1}")(
+                          sp, hs[2 + i], name=f"block{i + 1}")(
                 x, lv[i + 1].nbr3, lv[i + 1].valid, train
             )
             skips.append(x)
@@ -215,15 +241,18 @@ class MinkUNetBackbone(nn.Module):
         # ---- decoder ----
         for j in range(4):
             lvl = 3 - j  # target level index (3,2,1,0)
-            x = SparseUpConv(p[4 + j], layout=lay, name=f"convtr{4 + j}s2")(
+            x = SparseUpConv(p[4 + j], layout=lay, sp_axis=sp,
+                             sp_halo=hs[6 + lvl],
+                             name=f"convtr{4 + j}s2")(
                 x, pools[lvl], lv[lvl].valid)
-            x = SparseBatchNorm(layout=lay, name=f"bntr{4 + j}")(
+            x = SparseBatchNorm(layout=lay, sp_axis=sp, name=f"bntr{4 + j}")(
                 x, lv[lvl].valid, not train)
             x = nn.relu(x)
             skip = skips[lvl]
             x = jnp.concatenate([x, skip], axis=cax)
             x = _ResLayer(kind, p[4 + j], layers[4 + j], self.dtype,
-                          self.remat, lay, name=f"block{5 + j}")(
+                          self.remat, lay, sp, hs[1 + lvl],
+                          name=f"block{5 + j}")(
                 x, lv[lvl].nbr3, lv[lvl].valid, train
             )
         if cols and self.out_layout != "cols":
@@ -245,12 +274,15 @@ class MinkUNetSeg(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     head: str = "linear"  # "cosine" = MinkUNetBaseCosine (ExpCosinePretrain)
+    sp_axis: Any = None  # voxel-sharding mesh axis (see parallel.voxel_shard)
+    sp_halos: tuple = ()
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
-        lay = default_layout()
+        lay = "rows" if self.sp_axis is not None else default_layout()
         h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
                              remat=self.remat, layout=lay, out_layout=lay,
+                             sp_axis=self.sp_axis, sp_halos=self.sp_halos,
                              name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)  # heads + losses in f32
         valid = plan.levels[0].valid
@@ -296,12 +328,15 @@ class MinkUNetRC(nn.Module):
     head: str = "linear"  # "cosine" = MinkUNetRCCosine (ExpMixCosineFineTuning,
     #                        `multiheadminkunet.py:490-522`, `exp.py:1758-1795`:
     #                        cosine-prototype known + NCC heads)
+    sp_axis: Any = None  # voxel-sharding mesh axis (see parallel.voxel_shard)
+    sp_halos: tuple = ()
 
     @nn.compact
     def __call__(self, plan, feats, train: bool = True):
-        lay = default_layout()
+        lay = "rows" if self.sp_axis is not None else default_layout()
         h = MinkUNetBackbone(self.arch, self.planes, dtype=self.dtype,
                              remat=self.remat, layout=lay, out_layout=lay,
+                             sp_axis=self.sp_axis, sp_halos=self.sp_halos,
                              name="encoder")(plan, feats, train)
         h = h.astype(jnp.float32)
         valid = plan.levels[0].valid

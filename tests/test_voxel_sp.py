@@ -36,7 +36,7 @@ D = 8
 
 
 @pytest.fixture(scope="module")
-def plan():
+def batch():
     import bench as benchmod
 
     rng = np.random.default_rng(7)
@@ -53,9 +53,22 @@ def plan():
     full[:n] = coords
     valid = np.zeros((CAPS[0],), bool)
     valid[:n] = True
+    labels = rng.integers(0, 17, CAPS[0]).astype(np.int32)
+    return {
+        "coords": jnp.asarray(full),
+        "feats": jnp.asarray(
+            rng.uniform(0, 1, (CAPS[0], 1)).astype(np.float32)),
+        "labels": jnp.asarray(labels),
+        "mapped_labels": jnp.asarray(labels),
+        "valid": jnp.asarray(valid),
+    }
+
+
+@pytest.fixture(scope="module")
+def plan(batch):
     return jax.jit(
         lambda c, v: build_unet_plan(c, v, CAPS, presorted=True)
-    )(jnp.asarray(full), jnp.asarray(valid))
+    )(batch["coords"], batch["valid"])
 
 
 def _shard_map(mesh, fn, in_specs, out_specs):
@@ -212,3 +225,40 @@ def test_sp_bn_stats_parity(plan):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(ref_var),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sp_pretrain_step_parity(batch, plan):
+    """Full MinkUNet train step, voxel-sharded vs single-device: identical
+    loss, grads (via updated params), BN stats, and zero halo overflow."""
+    from gcdlss_tpu.parallel.sp_step import backbone_halos, make_sp_pretrain_step
+    from gcdlss_tpu.train.pretrain import (
+        PretrainConfig, create_pretrain_state, pretrain_train_step)
+
+    cfg = PretrainConfig(
+        num_labeled_classes=17, num_classes=19, unknown_label=17,
+        voxel_caps=CAPS, arch="MinkUNet14", planes=(8,) * 8,
+        steps_per_epoch=1, epochs=2, warmup_epochs=1,
+    )
+    halos = backbone_halos(plan, D)
+    mesh = make_mesh(D, axis="sp")
+
+    state1 = create_pretrain_state(jax.random.PRNGKey(0), cfg)
+    new1, m1 = pretrain_train_step(state1, batch, cfg)
+
+    state8 = create_pretrain_state(jax.random.PRNGKey(0), cfg)
+    sp_step = make_sp_pretrain_step(cfg, mesh, halos)
+    new8, m8 = sp_step(state8, batch)
+
+    assert int(m8["sp_overflow"]) == 0
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    # the SGD update bakes in the psum'd grads: whole param trees must match
+    flat1 = jax.tree_util.tree_leaves(new1.params)
+    flat8 = jax.tree_util.tree_leaves(new8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.batch_stats),
+                    jax.tree_util.tree_leaves(new8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
