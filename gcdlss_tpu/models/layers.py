@@ -80,7 +80,7 @@ class SparseConv(nn.Module):
     kernel_volume: int = 27
     use_bias: bool = False
     layout: str = "rows"
-    sp_axis: str | None = None  # voxel-sharded mode (inside shard_map)
+    sp_axis: object = None  # "sp" or ("dp", "sp"); rows ride the LAST axis
     sp_halo: int = 0
 
     @nn.compact
@@ -97,7 +97,8 @@ class SparseConv(nn.Module):
         if self.sp_axis is not None:
             assert not cols, "voxel sharding runs the rows-layout XLA path"
             out, ovf = _vs.sp_gather_conv(
-                x, nbr, w, b, halo=self.sp_halo, axis_name=self.sp_axis)
+                x, nbr, w, b, halo=self.sp_halo,
+                axis_name=_vs.conv_axis(self.sp_axis))
             self.sow("sp_overflow", "conv", ovf)
             return mask_rows(out, valid)
         fused_ok = _fused.enabled_on() and _fused.supported(n, ci, nbr.shape[1])
@@ -120,7 +121,7 @@ class SparseDownConv(nn.Module):
     features: int
     cap_out: int
     layout: str = "rows"
-    sp_axis: str | None = None
+    sp_axis: object = None
     sp_halo: int = 0
 
     @nn.compact
@@ -132,7 +133,7 @@ class SparseDownConv(nn.Module):
             assert not cols, "voxel sharding runs the rows-layout XLA path"
             out, ovf = _vs.sp_down_conv(
                 x, pool.parent, pool.dcode, w, self.cap_out,
-                halo=self.sp_halo, axis_name=self.sp_axis)
+                halo=self.sp_halo, axis_name=_vs.conv_axis(self.sp_axis))
             self.sow("sp_overflow", "down", ovf)
             return mask_rows(out.astype(x.dtype), out_valid)
         if cols:
@@ -152,7 +153,7 @@ class SparseUpConv(nn.Module):
 
     features: int
     layout: str = "rows"
-    sp_axis: str | None = None
+    sp_axis: object = None
     sp_halo: int = 0
 
     @nn.compact
@@ -164,7 +165,7 @@ class SparseUpConv(nn.Module):
             assert not cols, "voxel sharding runs the rows-layout XLA path"
             out, ovf = _vs.sp_up_conv(
                 x_coarse, pool.parent, pool.dcode, w,
-                halo=self.sp_halo, axis_name=self.sp_axis)
+                halo=self.sp_halo, axis_name=_vs.conv_axis(self.sp_axis))
             self.sow("sp_overflow", "up", ovf)
             return mask_rows(out.astype(x_coarse.dtype), out_valid)
         if cols:
@@ -191,7 +192,7 @@ class SparseBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     layout: str = "rows"
-    sp_axis: str | None = None  # psum batch stats over the voxel shards
+    sp_axis: object = None  # axis (or axes tuple) to psum batch stats over
 
     @nn.compact
     def __call__(self, x, valid, use_running_average: bool):

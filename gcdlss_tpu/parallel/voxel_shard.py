@@ -40,6 +40,13 @@ def _axis_size(axis_name: str) -> int:
     return jax.lax.axis_size(axis_name)
 
 
+def conv_axis(sp_axis):
+    """The mesh axis voxel ROWS are sharded over. A tuple means a composed
+    (dp, ..., sp) mesh: rows ride the LAST axis; the leading axes are batch
+    groups (halo exchange must stay within one group's ring)."""
+    return sp_axis if isinstance(sp_axis, str) else sp_axis[-1]
+
+
 def halo_window(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     """[L, ...] local rows -> [L + 2*halo, ...] with ring-exchanged halos.
 

@@ -262,3 +262,88 @@ def test_sp_pretrain_step_parity(batch, plan):
                     jax.tree_util.tree_leaves(new8.batch_stats)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dp_sp_pretrain_step_parity(batch):
+    """Composed (dp=2, sp=4) mesh: one scan per dp group, each group's
+    voxel rows sharded 4-way. Equals the single-device step on the two
+    scans' concatenated batch (BN, CE mean, and grads psum over both
+    axes; batch ids are disjoint so the union plan is the block concat
+    of the group plans up to padding placement, which the masked sums
+    ignore)."""
+    from jax.sharding import Mesh
+    from gcdlss_tpu.parallel.sp_step import (
+        backbone_halos, make_dp_sp_pretrain_step)
+    from gcdlss_tpu.train.pretrain import (
+        PretrainConfig, create_pretrain_state, pretrain_train_step)
+
+    # split the 2-scan fixture into per-scan groups at half the caps
+    caps_g = tuple(c // 2 for c in CAPS)
+    coords = np.asarray(batch["coords"])
+    valid = np.asarray(batch["valid"])
+    gb, gv, gf, gl = [], [], [], []
+    rng = np.random.default_rng(3)
+    for s in range(2):
+        sel = valid & (coords[:, 0] == s)
+        n = int(sel.sum())
+        assert n <= caps_g[0]
+        c = np.zeros((caps_g[0], 4), np.int32)
+        c[:n] = coords[sel]
+        v = np.zeros((caps_g[0],), bool)
+        v[:n] = True
+        f = np.zeros((caps_g[0], 1), np.float32)
+        f[:n] = np.asarray(batch["feats"])[sel]
+        l = np.full((caps_g[0],), -1, np.int32)
+        l[:n] = np.asarray(batch["mapped_labels"])[sel]
+        gb.append(c); gv.append(v); gf.append(f); gl.append(l)
+    grouped = {
+        "coords": jnp.asarray(np.stack(gb)),
+        "valid": jnp.asarray(np.stack(gv)),
+        "feats": jnp.asarray(np.stack(gf)),
+        "labels": jnp.asarray(np.stack(gl)),
+        "mapped_labels": jnp.asarray(np.stack(gl)),
+    }
+
+    cfg_ref = PretrainConfig(
+        num_labeled_classes=17, num_classes=19, unknown_label=17,
+        voxel_caps=CAPS, arch="MinkUNet14", planes=(8,) * 8,
+        steps_per_epoch=1, epochs=2, warmup_epochs=1,
+    )
+    cfg_g = PretrainConfig(
+        num_labeled_classes=17, num_classes=19, unknown_label=17,
+        voxel_caps=caps_g, arch="MinkUNet14", planes=(8,) * 8,
+        steps_per_epoch=1, epochs=2, warmup_epochs=1,
+    )
+
+    # reference: single device on the concatenated batch (labels must
+    # match the grouped split: mask out rows the groups dropped — none)
+    ref_batch = dict(batch)
+    ref_batch["mapped_labels"] = jnp.where(
+        batch["valid"], batch["mapped_labels"], -1)
+    ref_batch["labels"] = ref_batch["mapped_labels"]
+    state1 = create_pretrain_state(jax.random.PRNGKey(0), cfg_ref)
+    new1, m1 = pretrain_train_step(state1, ref_batch, cfg_ref)
+
+    # halos: max requirement over the two group plans at sp=4
+    plans = [jax.jit(
+        lambda c, v: build_unet_plan(c, v, caps_g, presorted=True)
+    )(grouped["coords"][g], grouped["valid"][g]) for g in range(2)]
+    halos = tuple(
+        max(h) for h in zip(*[backbone_halos(p, 4) for p in plans]))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    state8 = create_pretrain_state(jax.random.PRNGKey(0), cfg_g)
+    step = make_dp_sp_pretrain_step(cfg_g, mesh, halos)
+    new8, m8 = step(state8, grouped)
+
+    assert int(m8["sp_overflow"]) == 0
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(new8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.batch_stats),
+                    jax.tree_util.tree_leaves(new8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
