@@ -153,7 +153,7 @@ class DiscoverState(struct.PyTreeNode):
     rng: jax.Array
 
 
-def make_model(cfg: DiscoverConfig) -> MinkUNetRC:
+def make_model(cfg: DiscoverConfig, sp_axis=None, sp_halos=()) -> MinkUNetRC:
     return MinkUNetRC(
         num_labeled=cfg.num_labeled_classes,
         num_novel=cfg.num_unlabeled_classes,
@@ -162,6 +162,8 @@ def make_model(cfg: DiscoverConfig) -> MinkUNetRC:
         planes=cfg.planes,
         dtype=jnp.dtype(cfg.dtype),
         remat=cfg.remat,
+        sp_axis=sp_axis,
+        sp_halos=tuple(sp_halos),
     )
 
 
@@ -237,6 +239,34 @@ def discover_train_step(
     cfg: DiscoverConfig,
 ):
     model = make_model(cfg)
+
+    def apply_model(params, batch_stats, plan, feats, kind):
+        del kind  # "main" / "mix" — one model serves both here
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            plan, feats, train=True, mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"], jnp.zeros((), jnp.int32)
+
+    return _discover_step_impl(
+        state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg, apply_model)
+
+
+def _discover_step_impl(
+    state: DiscoverState,
+    sup_vb: dict,
+    sup_pb: dict,
+    unsup_vb: dict,
+    unsup_pb: dict,
+    cfg: DiscoverConfig,
+    apply_model,
+):
+    """Step body, parameterized over how the backbone runs. `apply_model`
+    (params, batch_stats, plan, feats, kind) -> (out, new_batch_stats,
+    sp_overflow) lets `parallel.sp_discover` swap in voxel-sharded
+    (shard_map + halo exchange) forwards while every loss/mining/queue
+    term stays the single tested implementation; `kind` ("main"/"mix")
+    selects the halo config for the two plan shapes."""
     tx = make_optimizer(cfg)
     K = cfg.num_labeled_classes
     Ku = cfg.num_unlabeled_classes
@@ -257,10 +287,8 @@ def discover_train_step(
     unsup_mask = valid0 & ~is_sup
 
     # ---------------- teacher forward (frozen params, train-mode BN) ---------
-    out_t, mut_t = model.apply(
-        {"params": state.params_t, "batch_stats": state.batch_stats_t},
-        plan, feats0, train=True, mutable=["batch_stats"],
-    )
+    out_t, bs_t, ovf_t = apply_model(
+        state.params_t, state.batch_stats_t, plan, feats0, "main")
     dummy_t = assemble_dummy_logits(out_t)  # [N, K+1]
     feats_t = jax.lax.stop_gradient(out_t["feats"])
     probs_t = jax.nn.softmax(dummy_t, axis=-1)
@@ -390,10 +418,8 @@ def discover_train_step(
     # ---------------- student loss ----------------
     def loss_fn(tree):
         params_s, tau = tree["model"], tree["tau"]
-        out_s, mut_s = model.apply(
-            {"params": params_s, "batch_stats": state.batch_stats_s},
-            plan, feats0, train=True, mutable=["batch_stats"],
-        )
+        out_s, bs_s1, ovf_s = apply_model(
+            params_s, state.batch_stats_s, plan, feats0, "main")
         dummy_s = assemble_dummy_logits(out_s)  # [N, K+1]
         feats_s = out_s["feats"]
 
@@ -405,10 +431,8 @@ def discover_train_step(
 
         if cfg.mix_mode == "lasermix":
             # LaserMix CE on the student's mixed forward (BN stats threaded)
-            out_mix, mut_s2 = model.apply(
-                {"params": params_s, "batch_stats": mut_s["batch_stats"]},
-                mix_plan, mix_feats0, train=True, mutable=["batch_stats"],
-            )
+            out_mix, bs_s2, ovf_m = apply_model(
+                params_s, bs_s1, mix_plan, mix_feats0, "mix")
             dummy_mix = assemble_dummy_logits(out_mix)
             l_lm = cfg.lasermix_coeff * cross_entropy(
                 dummy_mix, mix_labels0, mix_plan.levels[0].valid
@@ -430,10 +454,10 @@ def discover_train_step(
                 mixf, params_s["final"], params_s["final2"])
             l_lm = cfg.lasermix_coeff * soft_cross_entropy(
                 mix_logits, mixp, mixok)
-            mut_s2 = mut_s
+            bs_s2, ovf_m = bs_s1, jnp.zeros((), jnp.int32)
         else:
             l_lm = 0.0
-            mut_s2 = mut_s
+            bs_s2, ovf_m = bs_s1, jnp.zeros((), jnp.int32)
 
         if cfg.use_lion:
             # LiON: energy-based OOD objectives instead of calibration
@@ -491,8 +515,9 @@ def discover_train_step(
             "novel_unsup": g * l_nov_unsup,
             "novel_sup": g * l_nov_sup,
             "ncc_unsup": g * l_ncc,
+            "sp_overflow": ovf_t + ovf_s + ovf_m,
         }
-        return loss, (mut_s2["batch_stats"], metrics)
+        return loss, (bs_s2, metrics)
 
     (loss, (new_bs_s, metrics)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
@@ -531,7 +556,7 @@ def discover_train_step(
         params_s=params_s,
         batch_stats_s=new_bs_s,
         params_t=params_t,
-        batch_stats_t=mut_t["batch_stats"],
+        batch_stats_t=bs_t,
         tau=tau,
         opt_state=opt_state,
         queue=queue,

@@ -19,3 +19,4 @@ run tests/test_pretrain_e2e.py tests/test_finetune.py tests/test_cylinder3d.py \
     tests/test_nuscenes.py tests/test_import_torch.py
 run tests/test_discover_e2e.py tests/test_nops.py tests/test_modules_and_config.py
 run tests/test_multichip.py tests/test_multichip_discover.py
+run tests/test_voxel_sp.py tests/test_sp_discover.py
