@@ -48,7 +48,7 @@ from ..ops.plan import build_unet_plan
 from ..ops.voxelize import sparse_quantize
 from .common import make_sgd
 from .schedule import make_lr_schedule
-from .lasermix import lasermix_batch
+from .lasermix import lasermix_batch, lasermix_voxel_groups
 from flax import struct
 
 
@@ -114,6 +114,15 @@ class DiscoverConfig:
     #              spec rebuild)
     #   none     — no mixed branch
     mix_mode: str = "lasermix"
+    # how the LaserMix-mixed plan is built:
+    #   voxel — re-batch the combined plan's level-0 voxels by band parity
+    #           of the voxel center (one cap0-key sort; no point-level work)
+    #   point — reference-faithful: LaserMix the 2S*2P point clouds and
+    #           re-quantize on device (`exp_merge_mean_teacher.py:2856-2861`)
+    # Identical outputs except for voxels straddling a band boundary (see
+    # `lasermix.lasermix_voxel_groups`); parity-tested in
+    # tests/test_discover_e2e.py.
+    mix_plan_mode: str = "voxel"
     mixing_ratio_feat: float = 0.1
     novel_coeff: float = 0.1
     sup_novel_coeff: float = 1.0
@@ -229,6 +238,69 @@ def _combine_batches(sup_vb: dict, unsup_vb: dict, cfg: DiscoverConfig):
     return coords, feats, mapped, valid
 
 
+def _mixed_plan_point(cfg: DiscoverConfig, sup_pb: dict, unsup_pb: dict,
+                      pseudo: jax.Array, num_areas: jax.Array):
+    """Reference-faithful mixed plan: LaserMix the 2S*2P point clouds and
+    re-quantize on device (`exp_merge_mean_teacher.py:2856-2861`).
+
+    Kept as the oracle for `_mixed_plan_voxel` (cfg.mix_plan_mode="point");
+    costs a full 2S*2P-point floor/encode/lexsort per step.
+    """
+    mxyz, mfeats, mlabels, mvalid = lasermix_batch(
+        sup_pb, unsup_pb, pseudo, num_areas)
+    nscan, npt = mxyz.shape[0], mxyz.shape[1]
+    flat_xyz = mxyz.reshape(nscan * npt, 3)
+    flat_bidx = jnp.repeat(jnp.arange(nscan, dtype=jnp.int32), npt)
+    flat_valid = mvalid.reshape(-1)
+    vox = sparse_quantize(
+        flat_xyz, flat_bidx, flat_valid, cfg.voxel_size,
+        cfg.mix_voxel_caps[0]
+    )
+    mrep_ok = vox["rep"] < nscan * npt
+    mrep = jnp.where(mrep_ok, vox["rep"], 0)
+    mix_feats0 = mfeats.reshape(nscan * npt, -1)[mrep] * mrep_ok[:, None]
+    mix_labels0 = jnp.where(mrep_ok, mlabels.reshape(-1)[mrep], -1)
+    mix_plan = build_unet_plan(
+        vox["coords"], vox["valid"], cfg.mix_voxel_caps, presorted=True)
+    mix_ok = mix_plan.rep < cfg.mix_voxel_caps[0]
+    mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)
+    mix_feats0 = mix_feats0[mix_safe] * mix_ok[:, None]
+    mix_labels0 = jnp.where(mix_ok, mix_labels0[mix_safe], -1)
+    return mix_plan, mix_feats0, mix_labels0
+
+
+def _mixed_plan_voxel(cfg: DiscoverConfig, plan, feats0: jax.Array,
+                      mapped0: jax.Array, is_sup: jax.Array,
+                      pseudo_vox: jax.Array, num_areas: jax.Array):
+    """Voxel-level mixed plan: re-batch the combined plan's level-0 voxels.
+
+    The mixed clouds share the combined batch's voxel grid (LaserMix only
+    SELECTS points, it never moves them), so the mixed plan's voxel set is
+    the combined level-0 set re-labelled with mixed-scan batch indices —
+    no point-level quantize needed. One cap0-row key sort inside
+    `build_unet_plan` replaces the point path's 2S*2P-point
+    floor/encode/lexsort (~2.3x the rows) plus its point gathers.
+    Representative resolution on cross-scan duplicate voxels (same (x,y,z)
+    in both scans of a pair) matches the point path: the sup row sorts
+    first (smaller combined row), mirroring sup-points-first flat order.
+    Divergence on band-straddling voxels is documented at
+    `lasermix.lasermix_voxel_groups`; parity is tested in
+    tests/test_discover_e2e.py.
+    """
+    lvl0 = plan.levels[0]
+    g = lasermix_voxel_groups(
+        lvl0.coords, is_sup, cfg.num_sup_scans, num_areas, cfg.voxel_size)
+    new_coords = jnp.concatenate([g[:, None], lvl0.coords[:, 1:4]], axis=1)
+    mix_plan = build_unet_plan(new_coords, lvl0.valid, cfg.mix_voxel_caps)
+    cap0 = lvl0.coords.shape[0]
+    mix_ok = mix_plan.rep < cap0
+    mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)
+    mix_feats0 = feats0[mix_safe] * mix_ok[:, None].astype(feats0.dtype)
+    src_labels = jnp.where(is_sup, mapped0, pseudo_vox)
+    mix_labels0 = jnp.where(mix_ok, src_labels[mix_safe], -1)
+    return mix_plan, mix_feats0, mix_labels0
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def discover_train_step(
     state: DiscoverState,
@@ -297,39 +369,31 @@ def _discover_step_impl(
     maxp_t = jnp.max(probs_t, axis=-1)
     argm_t = jnp.argmax(probs_t, axis=-1)
     cap0 = cfg.voxel_caps[0]
-    vrow = unsup_pb["voxel_row"]  # [S, P] rows into the unsup voxel buffer
-    comb_row = sup_cap + vrow
-    ok_p = vrow < (cap0 - sup_cap)
-    prow = plan.inverse[jnp.where(ok_p, comb_row, 0)]
-    ok_p = ok_p & (prow < cap0)
-    srow = jnp.where(ok_p, prow, 0)
-    pseudo = jnp.where(
-        ok_p & (maxp_t[srow] >= cfg.pseudo_thr), argm_t[srow], -1
-    ).astype(jnp.int32)
 
     if cfg.mix_mode == "lasermix":
         num_areas = jax.random.choice(
             k_areas, jnp.asarray([3, 4, 5, 6], jnp.int32))
-        mxyz, mfeats, mlabels, mvalid = lasermix_batch(
-            sup_pb, unsup_pb, pseudo, num_areas)
-        nscan, npt = mxyz.shape[0], mxyz.shape[1]
-        flat_xyz = mxyz.reshape(nscan * npt, 3)
-        flat_bidx = jnp.repeat(jnp.arange(nscan, dtype=jnp.int32), npt)
-        flat_valid = mvalid.reshape(-1)
-        vox = sparse_quantize(
-            flat_xyz, flat_bidx, flat_valid, cfg.voxel_size,
-            cfg.mix_voxel_caps[0]
-        )
-        mrep_ok = vox["rep"] < nscan * npt
-        mrep = jnp.where(mrep_ok, vox["rep"], 0)
-        mix_feats0 = mfeats.reshape(nscan * npt, -1)[mrep] * mrep_ok[:, None]
-        mix_labels0 = jnp.where(mrep_ok, mlabels.reshape(-1)[mrep], -1)
-        mix_plan = build_unet_plan(
-            vox["coords"], vox["valid"], cfg.mix_voxel_caps, presorted=True)
-        mix_ok = mix_plan.rep < cfg.mix_voxel_caps[0]
-        mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)
-        mix_feats0 = mix_feats0[mix_safe] * mix_ok[:, None]
-        mix_labels0 = jnp.where(mix_ok, mix_labels0[mix_safe], -1)
+        if cfg.mix_plan_mode == "voxel":
+            # voxel-level pseudo labels: teacher argmax at the voxel row
+            # (the point path's per-point gather resolves to the same value
+            # at each re-quantized voxel's representative)
+            pseudo_vox = jnp.where(
+                unsup_mask & (maxp_t >= cfg.pseudo_thr), argm_t, -1
+            ).astype(jnp.int32)
+            mix_plan, mix_feats0, mix_labels0 = _mixed_plan_voxel(
+                cfg, plan, feats0, mapped0, is_sup, pseudo_vox, num_areas)
+        else:
+            vrow = unsup_pb["voxel_row"]  # [S, P] rows into the unsup buffer
+            comb_row = sup_cap + vrow
+            ok_p = vrow < (cap0 - sup_cap)
+            prow = plan.inverse[jnp.where(ok_p, comb_row, 0)]
+            ok_p = ok_p & (prow < cap0)
+            srow = jnp.where(ok_p, prow, 0)
+            pseudo = jnp.where(
+                ok_p & (maxp_t[srow] >= cfg.pseudo_thr), argm_t[srow], -1
+            ).astype(jnp.int32)
+            mix_plan, mix_feats0, mix_labels0 = _mixed_plan_point(
+                cfg, sup_pb, unsup_pb, pseudo, num_areas)
     else:
         mix_plan = mix_feats0 = mix_labels0 = None
 

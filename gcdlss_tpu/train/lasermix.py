@@ -57,6 +57,33 @@ def lasermix_pair(sup, unsup, num_areas):
     return {"xyz": xyz, "feats": feats, "labels": labels, "mix1": mix1, "mix2": mix2}
 
 
+def lasermix_voxel_groups(coords, is_sup, num_sup, num_areas, voxel_size):
+    """Mixed-scan id per combined voxel row, from voxel-CENTER pitch parity.
+
+    Voxel-level LaserMix: instead of mixing the raw point clouds and
+    re-quantizing 2S*2P points in-step (the reference's
+    `exp_merge_mean_teacher.py:2856-2861` protocol, kept as the
+    `mix_plan_mode="point"` oracle), assign each voxel of the ALREADY
+    BUILT combined plan to one mixed scan. Voxels are 0.05 m and pitch
+    bands span degrees, so a voxel's points share a band except on the
+    band-boundary shell; there the center parity decides (divergence:
+    the point path may emit a straddling voxel into BOTH mixed scans,
+    with the first in-band point as representative).
+
+    coords: [cap0, 4] combined-plan level-0 (b,x,y,z); sup scans are
+    b in [0, num_sup), unsup are [num_sup, 2*num_sup). Mixed scan g of
+    pair i: g=i collects even sup bands + odd unsup bands (mix1), and
+    g=num_sup+i the complements (mix2), matching `lasermix_batch`'s
+    stacking order.
+    """
+    center = (coords[:, 1:4].astype(jnp.float32) + 0.5) * voxel_size
+    par = band_parity(center, num_areas)
+    b = coords[:, 0]
+    pair = jnp.where(is_sup, b, b - num_sup)
+    in1 = jnp.where(is_sup, par == 0, par == 1)
+    return jnp.where(in1, pair, num_sup + pair).astype(jnp.int32)
+
+
 def lasermix_batch(sup_points, unsup_points, pseudo_labels, num_areas):
     """Mix B/2 scan pairs into B mixed scans.
 

@@ -185,3 +185,130 @@ def test_discovery_quality_minimal(tmp_path):
     assert curve, "no mIoU_new curve logged"
     assert max(curve) > 0.015, curve
     assert np.mean(curve[-3:]) > np.mean(curve[:3]) + 0.01, curve
+
+
+def test_mixed_plan_voxel_matches_point_oracle():
+    """The voxel-level mixed-plan builder (`_mixed_plan_voxel`) is exactly
+    the point path (`_mixed_plan_point`, the reference-faithful in-step
+    re-quantize) whenever no voxel straddles a pitch-band boundary: same
+    level-0 coords/valid, same neighbor maps, same features and labels.
+    Geometry is crafted with a pitch margin around every band edge of every
+    num_areas in {3..6} so the no-straddle precondition holds exactly."""
+    import dataclasses
+
+    from gcdlss_tpu.ops.plan import build_unet_plan
+    from gcdlss_tpu.train.discover import _mixed_plan_point, _mixed_plan_voxel
+
+    rng = np.random.default_rng(7)
+    vsize = 0.05
+    down, up = -25.0 / 180 * np.pi, 3.0 / 180 * np.pi
+    edges = np.unique(np.concatenate([
+        down + np.arange(na + 1) * (up - down) / na for na in (3, 4, 5, 6)
+    ]))
+
+    def make_scan(n, seed_off):
+        r = np.random.default_rng(7 + seed_off)
+        pts = []
+        while len(pts) < n:
+            pitch = r.uniform(down + 0.01, up - 0.01, size=4 * n)
+            # >= 0.6 deg from every band edge: a 0.05 m voxel at <= 40 m
+            # subtends < 0.1 deg, so point and voxel-center parity agree
+            ok = np.abs(pitch[:, None] - edges[None, :]).min(1) > 0.6 / 180 * np.pi
+            pitch = pitch[ok][: n - len(pts)]
+            rad = r.uniform(5.0, 40.0, size=pitch.shape[0])
+            yaw = r.uniform(-np.pi, np.pi, size=pitch.shape[0])
+            rho = rad * np.cos(pitch)
+            pts.append(np.stack(
+                [rho * np.cos(yaw), rho * np.sin(yaw), rad * np.sin(pitch)], 1))
+        return np.concatenate(pts)[:n].astype(np.float32)
+
+    from gcdlss_tpu.data.quantize_np import sparse_quantize_np
+
+    P, CAPX = 600, 1536
+    caps = (CAPX, 1024, 512, 256, 256)
+    scans = []
+    for s in range(2):  # one sup + one unsup scan
+        pts = make_scan(P, s)
+        vox, sel, inv = sparse_quantize_np(pts, vsize)
+        m = vox.shape[0]
+        xyz = np.zeros((P, 3), np.float32)
+        xyz[:m] = pts[sel]  # one point per voxel: rep == that point
+        valid = np.zeros(P, bool)
+        valid[:m] = True
+        feats = np.zeros((P, 1), np.float32)
+        feats[:m, 0] = rng.normal(size=m)
+        labels = np.full(P, -1, np.int32)
+        labels[:m] = rng.integers(0, 17, size=m)
+        scans.append(dict(coords=vox, m=m, xyz=xyz, valid=valid,
+                          feats=feats, labels=labels))
+
+    sup, uns = scans
+    coords = np.zeros((CAPX, 4), np.int32)
+    feats_in = np.zeros((CAPX, 1), np.float32)
+    mapped_in = np.full(CAPX, -1, np.int32)
+    valid_in = np.zeros(CAPX, bool)
+    sup_cap = CAPX // 2
+    coords[: sup["m"], 1:] = sup["coords"]
+    coords[sup_cap : sup_cap + uns["m"], 0] = 1
+    coords[sup_cap : sup_cap + uns["m"], 1:] = uns["coords"]
+    feats_in[: sup["m"]] = sup["feats"][: sup["m"]]
+    feats_in[sup_cap : sup_cap + uns["m"]] = uns["feats"][: uns["m"]]
+    mapped_in[: sup["m"]] = sup["labels"][: sup["m"]]
+    valid_in[: sup["m"]] = True
+    valid_in[sup_cap : sup_cap + uns["m"]] = True
+
+    plan = build_unet_plan(
+        jnp.asarray(coords), jnp.asarray(valid_in), caps, presorted=True)
+    ok = np.asarray(plan.rep) < CAPX
+    safe = np.where(ok, np.asarray(plan.rep), 0)
+    feats0 = jnp.asarray(np.where(ok[:, None], feats_in[safe], 0.0))
+    mapped0 = jnp.asarray(np.where(ok, mapped_in[safe], -1))
+    is_sup = jnp.asarray(ok & (safe < sup_cap) & (np.asarray(plan.rep) < sup_cap))
+
+    # per-voxel pseudo labels (simulated teacher) + their point-side twin
+    pseudo_vox_np = np.where(
+        np.asarray(plan.levels[0].valid) & ~np.asarray(is_sup),
+        np.random.default_rng(3).integers(-1, 18, size=CAPX), -1
+    ).astype(np.int32)
+    # map each unsup point (one per voxel) to its plan row's pseudo label
+    uq = {tuple(c): i for i, c in enumerate(np.asarray(plan.levels[0].coords))
+          if np.asarray(plan.levels[0].valid)[i]}
+    pseudo_pts = np.full((1, P), -1, np.int32)
+    for j in range(uns["m"]):
+        row = uq.get((1, *uns["coords"][j]))
+        if row is not None:
+            pseudo_pts[0, j] = pseudo_vox_np[row]
+
+    def pb(scan, lab):
+        return {
+            "xyz": jnp.asarray(scan["xyz"][None]),
+            "feats": jnp.asarray(scan["feats"][None]),
+            "mapped_labels": jnp.asarray(lab[None]),
+            "valid": jnp.asarray(scan["valid"][None]),
+        }
+
+    cfg = DiscoverConfig(
+        num_labeled_classes=17, num_unlabeled_classes=2, num_classes=19,
+        unknown_label=17, voxel_caps=caps, sup_voxel_cap=sup_cap,
+        mix_voxel_caps=caps, num_sup_scans=1, point_cap=P, voxel_size=vsize,
+    )
+    for na in (3, 4, 5, 6):
+        na_j = jnp.asarray(na, jnp.int32)
+        plan_p, feats_p, labels_p = _mixed_plan_point(
+            cfg, pb(sup, sup["labels"]), pb(uns, uns["labels"]),
+            jnp.asarray(pseudo_pts), na_j)
+        plan_v, feats_v, labels_v = _mixed_plan_voxel(
+            cfg, plan, feats0, mapped0, is_sup, jnp.asarray(pseudo_vox_np),
+            na_j)
+        assert np.array_equal(np.asarray(plan_p.levels[0].valid),
+                              np.asarray(plan_v.levels[0].valid)), na
+        v = np.asarray(plan_v.levels[0].valid)
+        assert np.array_equal(np.asarray(plan_p.levels[0].coords)[v],
+                              np.asarray(plan_v.levels[0].coords)[v]), na
+        assert np.array_equal(np.asarray(plan_p.levels[0].nbr3)[v],
+                              np.asarray(plan_v.levels[0].nbr3)[v]), na
+        assert np.array_equal(np.asarray(plan_p.stem_nbr)[v],
+                              np.asarray(plan_v.stem_nbr)[v]), na
+        assert np.allclose(np.asarray(feats_p)[v], np.asarray(feats_v)[v]), na
+        assert np.array_equal(np.asarray(labels_p)[v],
+                              np.asarray(labels_v)[v]), na

@@ -182,6 +182,26 @@ mix_feats0 = jnp.zeros((cfg.mix_voxel_caps[0], 1), jnp.float32)
 mix_labels0 = jnp.zeros((cfg.mix_voxel_caps[0],), jnp.int32)
 
 
+# ---- phase 3c: voxel-level mixed plan (default mix_plan_mode="voxel"):
+# replaces ALL of phase 3 (bands + quantize + mixed plan) with one
+# re-batched plan build over the combined level-0 rows ---------------------
+from gcdlss_tpu.train.discover import _mixed_plan_voxel
+
+mapped0 = jnp.where(ok, mapped[jnp.where(ok, plan.rep, 0)], -1)
+is_sup = ok & (plan.rep < half)
+pseudo_vox = jnp.zeros((cap0,), jnp.int32)
+
+
+@jax.jit
+def mixplan_voxel(plan, feats0, mapped0, is_sup, pseudo_vox):
+    return _mixed_plan_voxel(
+        cfg, plan, feats0, mapped0, is_sup, pseudo_vox,
+        jnp.asarray(4, jnp.int32))
+
+_ = t("  voxel-level mixed plan (replaces all three)", mixplan_voxel,
+      plan, feats0, mapped0, is_sup, pseudo_vox)
+
+
 # ---- phase 4: mining (hash sort + kmeans + hungarian) -------------------------
 @jax.jit
 def mining(dummy_t, feats_t, params_s, queue, key):
