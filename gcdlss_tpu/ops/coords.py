@@ -79,9 +79,16 @@ def sorted_unique(
       count: int32 scalar — number of valid unique keys.
     """
     n = hi.shape[0]
-    order = jnp.lexsort((lo, hi))  # primary: hi, secondary: lo, stable
-    sh = hi[order]
-    sl = lo[order]
+    from . import sort_kernel as sk
+
+    if sk.enabled() and sk.supported(hi.shape[0]):
+        # VMEM-resident bitonic kernel (ops/sort_kernel.py); payload
+        # tie-break reproduces lexsort's stability bit-exactly
+        sh, sl, order = sk.lexsort3(hi, lo)
+    else:
+        order = jnp.lexsort((lo, hi))  # primary: hi, secondary: lo, stable
+        sh = hi[order]
+        sl = lo[order]
     first = jnp.concatenate(
         [
             jnp.ones((1,), dtype=bool),

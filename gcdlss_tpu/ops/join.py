@@ -22,6 +22,22 @@ import jax.numpy as jnp
 from .coords import SENTINEL_HI
 
 
+def _sort3(hi, lo2, payload):
+    """lax.sort((hi, lo2, payload), num_keys=2), kernel-backed when enabled.
+
+    The bitonic kernel (ops/sort_kernel.py) compares payload as a tertiary
+    key; that refines the 2-key order only among exactly-equal (hi, lo2)
+    pairs, which the callers below are insensitive to (the tag packed in
+    lo2's LSB already separates table from query rows; within a side the
+    payload is an ascending arange, i.e. the stable order).
+    """
+    from . import sort_kernel as sk
+
+    if sk.enabled() and sk.supported(hi.shape[0]):
+        return sk.sort3(hi, lo2, payload)
+    return jax.lax.sort((hi, lo2, payload), num_keys=2)
+
+
 def sorted_join(table_hi, table_lo, q_hi, q_lo):
     """For each query key, the index of the matching table row, or -1.
 
@@ -45,7 +61,7 @@ def sorted_join(table_hi, table_lo, q_hi, q_lo):
     payload = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
     )
-    hi_s, lo2_s, pay_s = jax.lax.sort((hi, lo2, payload), num_keys=2)
+    hi_s, lo2_s, pay_s = _sort3(hi, lo2, payload)
     is_q = (lo2_s & 1) == 1
     # monotone fill: last table row index at or before each position
     trow = jnp.where(is_q, -1, pay_s)
@@ -96,7 +112,7 @@ def sorted_rank(table_hi, table_lo, q_hi, q_lo):
     payload = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
     )
-    hi_s, lo2_s, pay_s = jax.lax.sort((hi, lo2, payload), num_keys=2)
+    hi_s, lo2_s, pay_s = _sort3(hi, lo2, payload)
     is_t = (lo2_s & 1) == 1
     cnt = jnp.cumsum(is_t.astype(jnp.int32))
     out = jnp.zeros((m,), jnp.int32)
@@ -132,7 +148,7 @@ def sorted_rank_match(table_hi, table_lo, q_hi, q_lo, max_delta):
     payload = jnp.concatenate(
         [jnp.arange(n, dtype=jnp.int32), jnp.arange(m, dtype=jnp.int32)]
     )
-    hi_s, lo2_s, pay_s = jax.lax.sort((hi, lo2, payload), num_keys=2)
+    hi_s, lo2_s, pay_s = _sort3(hi, lo2, payload)
     is_t = (lo2_s & 1) == 1
     lo_key = lo2_s >> 1
     cnt = jnp.cumsum(is_t.astype(jnp.int32))
