@@ -66,14 +66,18 @@ def _next_pow2(n: int) -> int:
 
 
 def _schedule(npad: int) -> np.ndarray:
-    """[(j, k)] bitonic substages: for k = 2..npad, j = k/2 .. 1."""
+    """[(j, k)] kernel steps: per round k, its sublane substages
+    (j = k/2 .. 128) one step each, then ONE lane-cascade step covering
+    j = min(k/2, 64) .. 1 (the kernel unrolls the cascade in-register, so
+    the 7 most numerous substages of every round cost one VMEM pass)."""
     out = []
     k = 2
     while k <= npad:
         j = k // 2
-        while j >= 1:
+        while j >= LANES:
             out.append((j, k))
             j //= 2
+        out.append((min(k // 2, LANES // 2), k))
         k *= 2
     return np.asarray(out, np.int32)
 
@@ -108,33 +112,52 @@ def _sort_kernel(sched_ref, hi_in, lo_in, pay_in, hi_o, lo_o, pay_o,
     lo = lo_o[:]
     pay = pay_o[:]
 
-    for s in strides:
-        # partner index = gi XOR s: lanes when s < 128, sublanes otherwise
+    def substage(h, l, p, s):
+        """One compare-exchange at XOR-stride s (static)."""
         axis = 1 if s < LANES else 0
         shift = s if s < LANES else s // LANES
-
         size = LANES if s < LANES else R
+        upper = (gi & s) != 0
 
-        @pl.when(j == s)
-        def _(axis=axis, shift=shift, s=s, size=size):
-            upper = (gi & s) != 0
+        def partner(x):
+            return jnp.where(
+                upper,
+                pltpu.roll(x, shift, axis),         # [i] <- [i - s]
+                pltpu.roll(x, size - shift, axis),  # [i] <- [i + s]
+            )
 
-            def partner(x):
-                return jnp.where(
-                    upper,
-                    pltpu.roll(x, shift, axis),         # [i] <- [i - s]
-                    pltpu.roll(x, size - shift, axis),  # [i] <- [i + s]
-                )
+        ph, pl_, pp = partner(h), partner(l), partner(p)
+        gt = _lex_gt(h, l, p, ph, pl_, pp)
+        # ascending block: upper element keeps the max -> take the
+        # partner iff it is larger == ~gt; descending: the inverse.
+        # keys are totally ordered (payload distinct) so ~gt == lt.
+        take = gt ^ upper ^ desc
+        return (jnp.where(take, ph, h), jnp.where(take, pl_, l),
+                jnp.where(take, pp, p))
 
-            ph, pl_, pp = partner(hi), partner(lo), partner(pay)
-            gt = _lex_gt(hi, lo, pay, ph, pl_, pp)
-            # ascending block: upper element keeps the max -> take the
-            # partner iff it is larger == ~gt; descending: the inverse.
-            # keys are totally ordered (payload distinct) so ~gt == lt.
-            take = gt ^ upper ^ desc
-            hi_o[:] = jnp.where(take, ph, hi)
-            lo_o[:] = jnp.where(take, pl_, lo)
-            pay_o[:] = jnp.where(take, pp, pay)
+    for s in strides:
+        if s >= LANES:
+            # one sublane substage per step
+
+            @pl.when(j == s)
+            def _(s=s):
+                h, l, p = substage(hi, lo, pay, s)
+                hi_o[:] = h
+                lo_o[:] = l
+                pay_o[:] = p
+        else:
+            # lane cascade: j = s down to 1, unrolled in-register
+
+            @pl.when(j == s)
+            def _(s=s):
+                h, l, p = hi, lo, pay
+                s2 = s
+                while s2 >= 1:
+                    h, l, p = substage(h, l, p, s2)
+                    s2 //= 2
+                hi_o[:] = h
+                lo_o[:] = l
+                pay_o[:] = p
 
 
 def sort3(hi: jax.Array, lo: jax.Array, pay: jax.Array,

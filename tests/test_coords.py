@@ -335,5 +335,6 @@ def test_sort_kernel_matches_lexsort():
         assert np.array_equal(np.asarray(sh), hi[order]), n
         assert np.array_equal(np.asarray(sl), lo[order]), n
         assert np.array_equal(np.asarray(sp), order), ("stability", n)
-    # schedule sanity: n(n+1)/2 substages for 2^n rows
-    assert _schedule(1024).shape == (55, 2)
+    # schedule sanity for 2^10 rows: 6 sublane steps (rounds 2^8..2^10)
+    # + 10 lane-cascade steps (one per round)
+    assert _schedule(1024).shape == (16, 2)
