@@ -191,6 +191,15 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
     return ws, ss, relT, far, far_count
 
 
+def _poison_if_far_overflow(x: jax.Array, far_n) -> jax.Array:
+    """far entries beyond FAR_CAP cannot be represented (static shapes), and
+    silently truncating them would corrupt the conv output invisibly —
+    poison it with NaN instead so tests/losses fail loudly. far_count is 0
+    on every measured real scan (BENCH.md); this can only fire on
+    adversarial geometry or a user-shrunken GCDLSS_FUSED_WINDOW."""
+    return jnp.where(far_n > FAR_CAP, jnp.asarray(jnp.nan, x.dtype), x)
+
+
 def far_contribution(feats: jax.Array, far, weight: jax.Array,
                      n_out: int) -> jax.Array:
     """Exact COO finish for rulebook entries outside the kernel windows.
@@ -733,7 +742,7 @@ def _fused_core_fwd(feats, nbr, weight, interpret):
         lambda o: o,
         out,
     )
-    return out, (feats, nbr, weight, xT)
+    return _poison_if_far_overflow(out, far_n), (feats, nbr, weight, xT)
 
 
 def _fused_core_bwd(interpret, res, g_out):
@@ -789,6 +798,8 @@ def _fused_core_bwd(interpret, res, g_out):
         return dx, dw + dw_far
 
     dx, dw = jax.lax.cond(far_n2 > 0, _with_far, lambda a: a, (dx, dw))
+    dx = _poison_if_far_overflow(dx, far_n2)
+    dw = _poison_if_far_overflow(dw, far_n2)
     return dx.astype(feats.dtype), None, dw.astype(weight.dtype)
 
 
@@ -894,7 +905,7 @@ def _fused_core_T_fwd(xT, nbr, weight, interpret):
         return o + fc.T
 
     out = jax.lax.cond(far_n > 0, _with_far, lambda o: o, out)
-    return out, (xT, nbr, weight, xTp)
+    return _poison_if_far_overflow(out, far_n), (xT, nbr, weight, xTp)
 
 
 def _fused_core_T_bwd(interpret, res, g_out):
@@ -948,6 +959,8 @@ def _fused_core_T_bwd(interpret, res, g_out):
         return dxT, dw + dw_far
 
     dxT, dw = jax.lax.cond(far_n2 > 0, _with_far, lambda a: a, (dxT, dw))
+    dxT = _poison_if_far_overflow(dxT, far_n2)
+    dw = _poison_if_far_overflow(dw, far_n2)
     return dxT.astype(xT.dtype), None, dw.astype(weight.dtype)
 
 
@@ -989,7 +1002,7 @@ def _fused_pool_core_T_fwd(xT, nbr_fwd, nbr_adj, weight, interpret):
         return o + fc.T
 
     out = jax.lax.cond(far_n > 0, _with_far, lambda o: o, out)
-    return out, (xT, nbr_adj, weight, xTp)
+    return _poison_if_far_overflow(out, far_n), (xT, nbr_adj, weight, xTp)
 
 
 def _fused_pool_core_T_bwd(interpret, res, g_out):
@@ -1043,6 +1056,8 @@ def _fused_pool_core_T_bwd(interpret, res, g_out):
         return dxT, dw + dw_far
 
     dxT, dw = jax.lax.cond(far_n2 > 0, _with_far, lambda a: a, (dxT, dw))
+    dxT = _poison_if_far_overflow(dxT, far_n2)
+    dw = _poison_if_far_overflow(dw, far_n2)
     return dxT.astype(xT.dtype), None, None, dw.astype(weight.dtype)
 
 

@@ -348,3 +348,24 @@ def test_fused_chunked_T_matches_unchunked(monkeypatch):
     monkeypatch.setattr(fc, "NB_MAX", 3)
     out = fc.fused_subm_conv_T(xT, nbr, w, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_far_overflow_poisons(monkeypatch):
+    """More far entries than FAR_CAP cannot be represented (static shapes):
+    the output must be poisoned (NaN), never a silently-truncated sum."""
+    monkeypatch.setattr(fc, "FAR_CAP", 16)
+    rng = np.random.default_rng(3)
+    cap, ci, co = 2048, 16, 16
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci)
+    nbr = np.asarray(nbr).copy()
+    # targets half the array away are guaranteed outside any sub-window
+    rows = rng.choice(cap, size=128, replace=False)
+    cols = rng.integers(0, nbr.shape[1], size=128)
+    nbr[rows, cols] = (rows + cap // 2) % cap
+    nbr = jnp.asarray(nbr)
+    _, _, _, _, far_n = fc.plan_windows(nbr)
+    assert int(far_n) > 16, "fixture must overflow the patched cap"
+    w = jnp.asarray(
+        rng.standard_normal((nbr.shape[1], ci, co)).astype(np.float32) * 0.1)
+    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    assert np.isnan(np.asarray(out)).all(), "far overflow must poison"

@@ -29,7 +29,9 @@ rng = np.random.default_rng(0)
 # tools/kernel_variants_bench.py for why random-batch books mislead)
 nbr = np.full((N, K), -1, np.int32)
 for kk in range(K):
-    off = int(rng.integers(-700, 700))
+    # span kept within the smallest swept window (W=1024) so no combo
+    # falls onto the far/poison path
+    off = int(rng.integers(-300, 300))
     rows = np.arange(N) + off
     ok = (rows >= 0) & (rows < N) & (rng.random(N) < 0.13)
     nbr[:, kk] = np.where(ok, rows, -1)
