@@ -90,14 +90,20 @@ def _lex_gt(ah, al, ap, bh, bl, bp):
 
 
 def _sort_kernel(sched_ref, hi_in, lo_in, pay_in, hi_o, lo_o, pay_o,
-                 *, R, G, strides):
+                 sem, *, R, G, strides):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
-        hi_o[:] = hi_in[:]
-        lo_o[:] = lo_in[:]
-        pay_o[:] = pay_in[:]
+        # inputs live in ANY (HBM): one DMA each into the resident out
+        # blocks halves the VMEM footprint vs VMEM input blocks (the
+        # 2^20-row shape is 12.6 MB instead of 25)
+        for idx, (src, dst) in enumerate(
+            ((hi_in, hi_o), (lo_in, lo_o), (pay_in, pay_o))
+        ):
+            cp = pltpu.make_async_copy(src, dst, sem.at[idx])
+            cp.start()
+            cp.wait()
 
     j = sched_ref[step, 0]
     k = sched_ref[step, 1]
@@ -188,8 +194,9 @@ def sort3(hi: jax.Array, lo: jax.Array, pay: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[pl.BlockSpec((R, LANES), lambda i, s: (0, 0))] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[pl.BlockSpec((R, LANES), lambda i, s: (0, 0))] * 3,
+        scratch_shapes=[pltpu.SemaphoreType.DMA((3,))],
     )
     out = pl.pallas_call(
         functools.partial(_sort_kernel, R=R, G=G, strides=strides),
