@@ -11,6 +11,9 @@ grouped by offset, each offset's segment padded to a 128 multiple:
 
   in_list  [F_cap]   input row per entry (-1 pad)         — monotone per
                                                             segment
+  out_list [F_cap]   output row per entry (-1 pad)        — strictly
+                                                            increasing per
+                                                            segment
   pos      [N, K]    entry slot of (i, k), -1 absent       — a rulebook
                                                             over the
                                                             r-buffer
@@ -63,6 +66,14 @@ def compact_rulebook(nbr: jax.Array, f_cap: int):
         .set(jnp.where(present, nbr, -1).reshape(-1), mode="drop",
              unique_indices=True)[:f_cap]
     )
+    row_i = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    out_list = (
+        jnp.full((f_cap + 1,), -1, jnp.int32)
+        .at[slot.reshape(-1)]
+        .set(jnp.where(present, row_i, -1).reshape(-1), mode="drop",
+             unique_indices=True)[:f_cap]
+    )
     # mark fully-absent pad tiles: tile t belongs to offset k iff
     # start[k]/128 <= t < (start[k]+seg[k])/128 and holds >= 1 real entry
     # only in its first ceil(m_k/128) tiles; trailing pad tiles of a
@@ -76,7 +87,7 @@ def compact_rulebook(nbr: jax.Array, f_cap: int):
     tile_k = jnp.where(tiles < jnp.minimum(count, f_cap), tile_k, -1)
     # overflow also truncates pos entries beyond f_cap (absent in r):
     pos = jnp.where(pos < f_cap, pos, -1)
-    return in_list, pos, tile_k, count
+    return in_list, out_list, pos, tile_k, count
 
 
 def pos_block_windows(pos: jax.Array, block: int, f_cap: int,
