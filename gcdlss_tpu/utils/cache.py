@@ -22,6 +22,18 @@ _DEFAULT = os.path.join(
 def enable_compile_cache(path: str | None = None) -> str | None:
     import jax
 
+    # Honor a JAX_PLATFORMS env pin BEFORE touching the backend registry:
+    # this rig's sitecustomize force-sets `jax_platforms` through jax.config
+    # (silently overriding the env var), so `jax.default_backend()` under
+    # `JAX_PLATFORMS=cpu` still initializes the remote-TPU plugin — and
+    # blocks retrying a dead tunnel for 10+ minutes. Re-asserting the pin
+    # through jax.config (the conftest recipe) keeps CPU-pinned entry points
+    # off the tunnel entirely.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and not any(p in want for p in ("tpu", "axon")):
+        jax.config.update("jax_platforms", want)
+        return None
+
     if jax.default_backend() != "tpu":
         # serializing CPU executables for the cache segfaults this jaxlib
         # (observed: put_executable_and_time -> SIGSEGV under pytest); the
