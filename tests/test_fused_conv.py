@@ -474,3 +474,32 @@ def test_varwin_T_and_pool(monkeypatch):
     np.testing.assert_allclose(np.asarray(outp, np.float32),
                                np.asarray(refp, np.float32),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_varwin_chunked_matches_unchunked(monkeypatch):
+    """Grid chunking under GCDLSS_FUSED_VARWIN: padded tail blocks carry a
+    packed ntile of 0 (no DMA, no wait) and the chunked outputs equal the
+    single-call variant-window path."""
+    monkeypatch.setenv("GCDLSS_FUSED_VARWIN", "1")
+    rng = np.random.default_rng(17)
+    n, k, ci, co = 4096, 27, 16, 16
+    nbr = jnp.asarray(_varwin_book(rng, n, k))
+    feats = jnp.asarray(
+        rng.standard_normal((n, ci)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    mod = jnp.asarray(rng.standard_normal((n, co)).astype(np.float32))
+
+    def loss(f, wt):
+        return jnp.sum(fc.fused_subm_conv(f, nbr, wt, interpret=True)
+                       .astype(jnp.float32) * mod)
+
+    ref_out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    ref_dx, ref_dw = jax.grad(loss, argnums=(0, 1))(feats, w)
+
+    monkeypatch.setattr(fc, "NB_MAX", 3)  # nb=16 -> 6 chunks of 3, 2 padded
+    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    dx, dw = jax.grad(loss, argnums=(0, 1))(feats, w)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
+                               rtol=1e-5, atol=1e-5)
