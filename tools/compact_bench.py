@@ -132,6 +132,15 @@ e2 = (float(jnp.max(jnp.abs(gw_w - gw_c)))
       / max(float(jnp.max(jnp.abs(gw_w))), 1e-9))
 print(f"fwd err {err:.4f} | dx err {e1:.4f} | dw rel err {e2:.4f}",
       flush=True)
+# parity gate: callers (tpu_mega pipelines) key the compact default-flip on
+# this exit code, so a silent mismatch must fail loudly. Bounds match
+# tests/test_compact_conv.py (bf16-rounded r intermediate: dx 2e-2 scaled
+# by the unit-normal activations; dw relative 2e-3; fwd like dx).
+scale = max(float(jnp.max(jnp.abs(o_win))), 1e-9)
+parity_ok = (err / scale < 0.02 and e2 < 5e-3
+             and e1 / max(float(jnp.max(jnp.abs(gx_w))), 1e-9) < 0.02)
+if not parity_ok:
+    print("PARITY MISMATCH above tolerance — failing", flush=True)
 print(f"fwd speedup {t_win/t_cmp:.2f}x | fwd+bwd speedup "
       f"{tg_win/tg_cmp:.2f}x", flush=True)
 dense = 2 * 27 * n * CI * CO
@@ -139,3 +148,4 @@ filled = 2 * fill * 32 * n * CI * CO
 print(f"dense-bound {dense/197e12*1e3:.2f} ms, fill-bound "
       f"{filled/197e12*1e3:.2f} ms; compact fwd achieves "
       f"{filled/t_cmp/197e12*100:.0f}% of fill-bound MXU", flush=True)
+sys.exit(0 if parity_ok else 1)

@@ -91,3 +91,13 @@ print(f"grad err dx {e1:.4f} dw(rel) {e2:.4f} | fwd+bwd speedup "
       f"{tg_ref/tg_fus:.2f}x", flush=True)
 flops = 2 * 27 * int(valid.sum()) * CI * CO
 print(f"fused fwd MXU util: {flops/t_fus/197e12*100:.1f}%", flush=True)
+# parity gate: the tpu_mega pipelines key flag decisions (ragged fallback,
+# varwin enable) on this exit code — a silent numeric mismatch must fail.
+# Real indexing bugs give O(1) relative errors; bf16-vs-f32 stays well
+# under these bounds (tests/test_fused_conv.py uses 0.05 abs at unit scale).
+s_o = max(float(jnp.max(jnp.abs(o_ref))), 1e-9)
+s_x = max(float(jnp.max(jnp.abs(gx_r))), 1e-9)
+parity_ok = err / s_o < 0.05 and e1 / s_x < 0.05 and e2 < 0.05
+if not parity_ok:
+    print("PARITY MISMATCH above tolerance — failing", flush=True)
+sys.exit(0 if parity_ok else 1)
