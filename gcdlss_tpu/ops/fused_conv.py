@@ -76,11 +76,20 @@ def _var_windows(window: int, subwin: int) -> tuple | None:
     """Static window-length variants (rows) for the ambient geometry.
 
     Env read at call time (tests toggle it); the jitted wrappers key their
-    caches on the resulting static tuple."""
+    caches on the resulting static tuple. GCDLSS_FUSED_WVAR overrides the
+    candidate lengths (comma-separated rows, e.g. "512,768,1024,2048") for
+    HW sweeps; lengths outside [subwin, window] are dropped."""
     if os.environ.get("GCDLSS_FUSED_VARWIN", "0") != "1":
         return None
-    vw = sorted({v for v in (subwin, 2 * subwin, window)
-                 if subwin <= v <= window})
+    cand = os.environ.get("GCDLSS_FUSED_WVAR", "")
+    cand = ([int(v) for v in cand.split(",")] if cand
+            else [subwin, 2 * subwin, window])
+    vw = sorted({v for v in cand if subwin <= v <= window and v % 128 == 0})
+    # always include the full window as the top variant: spans beyond the
+    # top variant go far/COO, so a short top would inflate far counts (and
+    # can hit the FAR_CAP poison) relative to the fixed-window baseline
+    if not vw or vw[-1] != window:
+        vw.append(window)
     return tuple(vw) if len(vw) > 1 else None
 
 
