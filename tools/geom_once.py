@@ -50,6 +50,7 @@ _ = jax.block_until_ready(fwd(x, nbr_d, w))
 dt_f = device_time(fwd, x, nbr_d, w, n=16)
 _ = jax.block_until_ready(gfn(x, nbr_d, w)[0])
 dt_g = device_time(lambda *a: gfn(*a)[0], x, nbr_d, w, n=16)
-print(f"geom B={fc.BLOCK} W={fc.WINDOW} SW={fc.SUBWIN}: "
+vw = fc._var_windows(fc.WINDOW, fc.SUBWIN)
+print(f"geom B={fc.BLOCK} W={fc.WINDOW} SW={fc.SUBWIN} vw={vw}: "
       f"fwd {dt_f*1e3:.2f} ms, fwd+bwd {dt_g*1e3:.2f} ms (N={N}, C={C})",
       flush=True)
