@@ -503,3 +503,24 @@ def test_varwin_chunked_matches_unchunked(monkeypatch):
     np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
     np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_varwin_with_ragged_off(monkeypatch):
+    """GCDLSS_FUSED_RAGGED=0 (full-tile-scan bisection fallback) composed
+    with GCDLSS_FUSED_VARWIN=1 — the mega pipelines can run this combo when
+    ragged parity fails on HW. The fallback's ntile=subwin//128 tiles all
+    sit below base + subwin <= the block's variant length, so the gather
+    never reads past the copied window."""
+    monkeypatch.setenv("GCDLSS_FUSED_RAGGED", "0")
+    monkeypatch.setenv("GCDLSS_FUSED_VARWIN", "1")
+    rng = np.random.default_rng(23)
+    n, k, ci, co = 4096, 27, 16, 16
+    nbr = jnp.asarray(_varwin_book(rng, n, k))
+    feats = jnp.asarray(
+        rng.standard_normal((n, ci)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+    oracle = gather_conv(feats, nbr, w)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(oracle, np.float32),
+                               rtol=0.05, atol=0.05)
