@@ -36,6 +36,32 @@ def mix_features(rng, feats, labels, valid, num_classes: int,
     return mix, probs * ok[:, None], ok
 
 
+def mix_centroid_sup(rng, feats, labels, valid, unknown_label: int):
+    """Average labeled feature triples with pairwise-distinct labels.
+
+    Rebuild of `ExpMixExtraFineTuning.mix_centroid_features`
+    (`modules/exp.py:1494-1517`): three independent permutations of the
+    labeled rows, kept only where all three labels differ, averaged and
+    targeted at the unknown slot. Masked fixed-shape (invalid rows carry
+    label -1 and zero features)."""
+    n = feats.shape[0]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    p1 = jax.random.permutation(k1, n)
+    p2 = jax.random.permutation(k2, n)
+    p3 = jax.random.permutation(k3, n)
+    l1, l2, l3 = labels[p1], labels[p2], labels[p3]
+    ok = (
+        valid[p1] & valid[p2] & valid[p3]
+        & (l1 >= 0) & (l2 >= 0) & (l3 >= 0)
+        & (l1 != l2) & (l2 != l3) & (l1 != l3)
+    )
+    mix = jax.lax.stop_gradient(
+        (feats[p1] + feats[p2] + feats[p3]) / 3.0
+    ) * ok[:, None]
+    mix_labels = jnp.where(ok, unknown_label, -1).astype(jnp.int32)
+    return mix, mix_labels, ok
+
+
 def mix_unsup_features(rng, feats, valid, unknown_label: int,
                        beta_coeff: float = 0.5):
     """Mix random unsup feature pairs; targets are the unknown slot."""

@@ -44,7 +44,7 @@ from ..ops.plan import build_unet_plan
 from .common import make_sgd
 from .schedule import make_lr_schedule
 from .discover import _combine_batches
-from .feature_mixing import mix_features
+from .feature_mixing import mix_centroid_sup, mix_features, mix_unsup_centroid
 
 
 @dataclass(frozen=True)
@@ -74,6 +74,13 @@ class NopsConfig:
     joint_logits: bool = False  # Joint: CE over [base|novel], labels += K
     use_mix_features: bool = False  # Joint: feature-mixing in the sup loss
     beta_coeff: float = 0.5
+    # ExpMixDiscover switches (`exp.py:3587-3990`)
+    mix_centroid: bool = False  # sup mixing = label-distinct triples -> unknown
+    unsup_mix_coeff: float = 0.0  # pseudo-GT CE on non-candidates + mixed
+    #                               unsup-as-unknown CE (0.1 in the reference)
+    entropy_minimize: bool = False  # OpenMatch-style entropy terms
+    id_entropy_coeff: float = 1.0
+    ood_entropy_coeff: float = 1e-3
     # optimizer
     lr: float = 1e-2
     momentum: float = 0.9
@@ -223,7 +230,7 @@ def nops_train_step(state: NopsState, sup_vb: dict, unsup_vb: dict, cfg: NopsCon
     model = make_model(cfg)
     tx = make_sgd(cfg, make_lr_schedule(cfg))
     K = cfg.num_labeled_classes
-    rng, k_kmeans, k_mix = jax.random.split(state.rng, 3)
+    rng, k_kmeans, k_mix, k_umix = jax.random.split(state.rng, 4)
 
     coords, feats, mapped, valid = _combine_batches(sup_vb, unsup_vb, cfg)
     plan = build_unet_plan(coords, valid, cfg.voxel_caps, presorted=True)
@@ -245,25 +252,84 @@ def nops_train_step(state: NopsState, sup_vb: dict, unsup_vb: dict, cfg: NopsCon
         dummy = assemble_dummy_logits(out)  # [N, K+1]
         h = out["feats"]
 
+        def _mix_dummy(mixf):
+            # mixed feats through the raw final/final2 kernels -> [M, K+1]
+            # dummy logits (`exp.py:3799-3805,4504-4518`)
+            kin = mixf @ params["final"]["kernel"] + params["final"]["bias"]
+            kout = (mixf @ params["final2"]["kernel"]
+                    + params["final2"]["bias"])
+            return jnp.concatenate(
+                [kin, jnp.max(kout, axis=-1, keepdims=True)], axis=-1
+            )
+
         sup_targets = jnp.where(sup_mask, mapped0, -1)
         l_sup = cross_entropy(dummy, sup_targets, valid0)
-        if cfg.use_mix_features:
+        mix_logits = None
+        mix_labels = None
+        if cfg.use_mix_features and cfg.mix_centroid:
+            # ExpMixDiscover: label-distinct triples averaged and targeted
+            # at the unknown slot (`exp.py:3793-3809` via `exp.py:1494-1517`)
+            mixf, mix_labels, mixok = mix_centroid_sup(
+                k_mix, h, sup_targets, sup_mask, cfg.unknown_label
+            )
+            mix_logits = _mix_dummy(mixf)
+            l_sup = l_sup + cross_entropy(mix_logits, mix_labels, mixok)
+        elif cfg.use_mix_features:
             # Joint prepends feature-mixed logits to the sup CE
-            # (`exp.py:4504-4518`): mixed feats through the raw final/final2
-            # kernels, soft two-hot targets over K+1 columns.
+            # (`exp.py:4504-4518`): soft two-hot targets over K+1 columns.
             mixf, mixp, mixok = mix_features(
                 k_mix, h, sup_targets, sup_mask, K + 1, cfg.beta_coeff
             )
-            kin = mixf @ params["final"]["kernel"] + params["final"]["bias"]
-            kout = mixf @ params["final2"]["kernel"] + params["final2"]["bias"]
-            mix_logits = jnp.concatenate(
-                [kin, jnp.max(kout, axis=-1, keepdims=True)], axis=-1
-            )
+            mix_logits = _mix_dummy(mixf)
             l_sup = l_sup + soft_cross_entropy(mix_logits, mixp, mixok)
 
         l_cal = cfg.calib_coeff * calibration_loss(
             dummy, sup_targets, cfg.unknown_label, valid0
         )
+
+        # ---- ExpMixDiscover unsup mixed seg loss (`exp.py:3848-3874`):
+        # CE of non-candidate unsup rows against their own argmax pseudo-GT,
+        # plus centroid-mixed unsup features targeted at the unknown slot,
+        # both under one coefficient (0.1 in the reference).
+        l_unsup_mix = 0.0
+        # live softmax: the entropy terms differentiate through it
+        # (`exp.py:3852,3940`); the argmax/threshold consumers carry no
+        # gradient either way
+        probs_uns = jax.nn.softmax(dummy, axis=-1)
+        if cfg.unsup_mix_coeff > 0.0:
+            cand = (probs_uns[:, -1] > cfg.prob_threshold) & unsup_mask
+            pseudo = jnp.argmax(probs_uns, axis=-1)
+            keep = unsup_mask & ~cand
+            l_pseudo = cross_entropy(dummy, jnp.where(keep, pseudo, -1))
+            mixuf, mixul, mixuok = mix_unsup_centroid(
+                k_umix, h, unsup_mask, cfg.unknown_label
+            )
+            l_umixed = cross_entropy(_mix_dummy(mixuf), mixul, mixuok)
+            l_unsup_mix = cfg.unsup_mix_coeff * (l_pseudo + l_umixed)
+
+        # ---- OpenMatch-style entropy minimization (`exp.py:3826-3838`):
+        # id term = -mean of sum(p[:, :-1] log p), ood term = SUM (not mean,
+        # `exp.py:3832`: torch.sum reduces the row axis before torch.mean
+        # sees a scalar) of p_last log p_last, over the [sup | mixed-sup]
+        # rows.
+        l_ent = 0.0
+        if cfg.entropy_minimize:
+            def ent_terms(lg, m):
+                p = jax.nn.softmax(lg, axis=-1)
+                mf = m.astype(jnp.float32)
+                nrow = jnp.maximum(jnp.sum(mf), 1.0)
+                plogp = p * jnp.log(p + 1e-8)
+                ide = -jnp.sum(jnp.sum(plogp[:, :-1], axis=-1) * mf) / nrow
+                ood = jnp.sum(plogp[:, -1] * mf)
+                return ide, ood
+
+            ide, ood = ent_terms(dummy, sup_mask)
+            if mix_logits is not None:
+                # reference entropy runs over the concatenated rows; the
+                # masked split keeps the id term a per-population mean
+                ide_m, ood_m = ent_terms(mix_logits, mix_labels >= 0)
+                ide, ood = ide + ide_m, ood + ood_m
+            l_ent = cfg.id_entropy_coeff * ide + cfg.ood_entropy_coeff * ood
 
         nb = _novel_branch(
             cfg, jax.lax.stop_gradient(dummy), h, unsup_mask,
@@ -289,12 +355,28 @@ def nops_train_step(state: NopsState, sup_vb: dict, unsup_vb: dict, cfg: NopsCon
         else:
             l_nov = cfg.novel_coeff * cross_entropy(nov_logits, targets)
 
-        loss = l_sup + l_cal + g * l_nov
+        # has_novel-gated unsup entropy terms: the reference computes them
+        # (`exp.py:3940-3947`) but re-adds the SUP terms due to variable
+        # shadowing (`loss += id_entropy_loss` names the sup-side local);
+        # we apply the evident intent and add the unsup terms once.
+        l_ent_u = 0.0
+        if cfg.entropy_minimize:
+            mf = unsup_mask.astype(jnp.float32)
+            nrow = jnp.maximum(jnp.sum(mf), 1.0)
+            plogp = probs_uns * jnp.log(probs_uns + 1e-8)
+            ide_u = -jnp.sum(jnp.sum(plogp[:, :-1], axis=-1) * mf) / nrow
+            ood_u = jnp.sum(plogp[:, -1] * mf)
+            l_ent_u = g * (cfg.id_entropy_coeff * ide_u
+                           + cfg.ood_entropy_coeff * ood_u)
+
+        loss = l_sup + l_cal + g * l_nov + l_unsup_mix + l_ent + l_ent_u
         metrics = {
             "loss": loss,
             "sup_seg": l_sup,
             "calib": l_cal,
             "novel_unsup": g * l_nov,
+            "unsup_mix": l_unsup_mix,
+            "entropy": l_ent + l_ent_u,
             "n_cand": nb["n_cand"],
             "n_rel": nb["n_rel"],
             "has_novel": nb["has_novel"].astype(jnp.int32),

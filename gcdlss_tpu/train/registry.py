@@ -51,6 +51,16 @@ MODULE_REGISTRY: dict = {
         dict(joint_logits=True, use_mix_features=True, novel_coeff=0.002),
     ),
     "ExpMixDiscoverSwaV": ("nops_swav", {}),
+    # ---- ExpMixDiscover (`exp.py:3587-3990`): single-model discovery on
+    #      the finetune-extra chassis — centroid feature mixing (sup +
+    #      unsup), fixed prob threshold 0.2, sklearn-style euclidean
+    #      k-means over Ku+1 clusters dropping the one closest to the base
+    #      prototypes, mean-feature queue, entropy minimization (KITTI) ----
+    "ExpMixDiscover": (
+        "nops",
+        dict(use_mix_features=True, mix_centroid=True, unsup_mix_coeff=0.1,
+             entropy_minimize=True),
+    ),
     # ---- Stage 1.5 + mixing/scheduling ablation family (exp.py) ----
     "ExpFineTuning": ("finetune", {}),
     "ExpMixFineTuning": ("finetune", dict(mix_mode="pairs")),

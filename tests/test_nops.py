@@ -99,6 +99,30 @@ def test_joint_step():
     assert np.isfinite(float(m["sup_seg"]))
 
 
+def test_expmixdiscover_step():
+    """ExpMixDiscover (`exp.py:3587-3990`): centroid mixing + unsup mixed
+    seg loss + entropy minimization on the NOPS chassis, via its registry
+    recipe."""
+    from gcdlss_tpu.train.registry import MODULE_REGISTRY
+
+    stage, overrides = MODULE_REGISTRY["ExpMixDiscover"]
+    assert stage == "nops"
+    cfg = _cfg(**overrides)
+    assert cfg.mix_centroid and cfg.entropy_minimize
+    assert cfg.unsup_mix_coeff == 0.1
+    rng = np.random.default_rng(3)
+    sup = _mk_voxel(rng, HALF, 2)
+    unsup = _mk_voxel(rng, CAP - HALF, 2)
+    state = create_nops_state(jax.random.PRNGKey(3), cfg)
+    state, m = nops_train_step(state, sup, unsup, cfg)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["unsup_mix"]))
+    assert float(m["unsup_mix"]) != 0.0  # pseudo-GT + mixed terms fired
+    assert np.isfinite(float(m["entropy"]))
+    state2, m2 = nops_train_step(state, sup, unsup, cfg)
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_swav_step():
     cfg = _cfg()
     rng = np.random.default_rng(2)
