@@ -28,6 +28,17 @@ from . import augment as aug
 from .semantic_kitti import ScanSample
 
 
+def decode_panoptic(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(semantic, instance) from nuScenes panoptic packing.
+
+    Exactly `sem = label // 1000`, `inst = label % 1000`
+    (`utils/dataset_remission_mean_teacher.py:2101-2103`; the reference's
+    uint8 cast of sem is a no-op for valid raw ids < 32). Golden-tested in
+    tests/test_nuscenes.py against hand-packed label files."""
+    raw = np.asarray(raw).reshape(-1)
+    return (raw // 1000).astype(np.int64), (raw % 1000).astype(np.int32)
+
+
 class NuScenesDataset:
     def __init__(
         self,
@@ -120,9 +131,8 @@ class NuScenesDataset:
         xyz = pts[:, :3].copy()
         feat = pts[:, 3:4].copy()
 
-        raw = np.load(self._panoptic_path(info))["data"].reshape(-1)
-        sem_raw = (raw // 1000).astype(np.int64)
-        inst = (raw % 1000).astype(np.int32)
+        raw = np.load(self._panoptic_path(info))["data"]
+        sem_raw, inst = decode_panoptic(raw)
         labels = self.lut[np.clip(sem_raw, 0, self.lut.shape[0] - 1)]
 
         sel = np.arange(xyz.shape[0])

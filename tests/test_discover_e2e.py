@@ -160,10 +160,14 @@ def test_discovery_quality_minimal(tmp_path):
     """The Stage-1 -> Stage-2 protocol discovers planted novel classes on
     the learnable fixture: mIoU_new rises well above its chance-level start
     (observed curves at this reduced scale: 0.001 -> 0.024..0.041 over 8
-    epochs, strictly rising; the 0.015 floor is ~20x the epoch-0 value while
-    staying clear of seed-to-seed spread). Reduced version of the committed
-    run in docs/discovery_quality_r3.json (mIoU_new 0.0 -> 0.28 over 15
-    epochs at full fixture scale)."""
+    epochs across 3 seeds, strictly rising; the 0.02 floor sits just under
+    the weakest observed seed (0.024) and ~25x the epoch-0 value, so a
+    regression that halves discovery quality trips it while seed spread
+    does not). Reduced version of the committed run in
+    docs/discovery_quality_r3.json (mIoU_new 0.0 -> 0.28 over 15 epochs at
+    full fixture scale). Stays in the slow tier: the run is a 14-epoch
+    two-stage subprocess (~20 min on this rig), far over the smoke budget;
+    the smoke tier covers the discovery step itself via the step tests."""
     import json
     import os
     import subprocess
@@ -183,7 +187,7 @@ def test_discovery_quality_minimal(tmp_path):
     r = json.load(open(os.path.join(wd, "result.json")))
     curve = r["stage2_miou_new"]
     assert curve, "no mIoU_new curve logged"
-    assert max(curve) > 0.015, curve
+    assert max(curve) > 0.02, curve
     assert np.mean(curve[-3:]) > np.mean(curve[:3]) + 0.01, curve
 
 

@@ -1,7 +1,54 @@
-import numpy as np
+import os
+import pickle
 
-from gcdlss_tpu.data.nuscenes import NuScenesDataset, write_synthetic_nuscenes
+import numpy as np
+import pytest
+
+from gcdlss_tpu.data.nuscenes import (
+    NuScenesDataset,
+    decode_panoptic,
+    write_synthetic_nuscenes,
+)
 from gcdlss_tpu.data import build_label_mapping, split_table, dataset_meta
+
+
+@pytest.mark.smoke
+def test_panoptic_decode_golden(tmp_path):
+    """Hand-packed panoptic labels decode to the exact (sem, inst) pairs of
+    the reference's `label//1000`/`label%1000`
+    (`utils/dataset_remission_mean_teacher.py:2101-2103`), and a dataset
+    over the hand-built file yields exactly the learning-mapped labels."""
+    # (sem, inst) pairs incl. edge cases: inst=0, inst=999 (max), sem=0
+    # (noise -> ignore), sem=31 (ignore), sem=30 (max mapped id)
+    pairs = [(9, 5), (14, 999), (2, 0), (0, 7), (31, 3), (30, 1)]
+    raw = np.array([s * 1000 + i for s, i in pairs], np.uint16)
+    sem, inst = decode_panoptic(raw)
+    assert sem.tolist() == [p[0] for p in pairs]
+    assert inst.tolist() == [p[1] for p in pairs]
+
+    # e2e through the dataset: standard 32->16 learning map
+    # (9->0 car? no: 9=barrier->0 ... values pinned from config meta:
+    #  9->0, 14->1, 2->6, 30->15; 0 and 31 -> ignore, dropped)
+    root = str(tmp_path / "nusc")
+    os.makedirs(os.path.join(root, "samples"), exist_ok=True)
+    os.makedirs(os.path.join(root, "panoptic"), exist_ok=True)
+    n = len(pairs)
+    pts = np.zeros((n, 5), np.float32)
+    pts[:, 0] = np.arange(n) * 5.0  # distinct voxels, identity order
+    pts[:, 3] = np.arange(n) / 10.0  # intensity
+    pts.tofile(os.path.join(root, "samples", "scan.bin"))
+    np.savez(os.path.join(root, "panoptic", "scan.npz"), data=raw)
+    infos = [{"lidar_path": "samples/scan.bin",
+              "panoptic_path": "panoptic/scan.npz", "token": "t0"}]
+    with open(os.path.join(root, "nuscenes_infos_train.pkl"), "wb") as f:
+        pickle.dump({"infos": infos}, f)
+
+    ds = NuScenesDataset(root, "train", voxel_size=0.1, augment=False,
+                         downsampling=-1)
+    s = ds[0]
+    assert s.labels.tolist() == [0, 1, 6, 15]  # ignore rows dropped
+    assert s.points.shape == (4, 3)
+    np.testing.assert_allclose(s.features[:, 0], [0.0, 0.1, 0.2, 0.5])
 
 
 def test_nuscenes_pipeline(tmp_path):
