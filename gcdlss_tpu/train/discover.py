@@ -147,6 +147,9 @@ def make_discover_config(dataset: str, **kw) -> dict:
     else:
         base = dict(calib_coeff=0.05, threshold_loss_weight=0.2)
     base.update(kw)
+    if base.get("arch") == "Cylinder3D":
+        # queue width must match the backbone feature dim (4 x base_channels)
+        base.setdefault("feat_dim", 128)
     return base
 
 
@@ -162,7 +165,24 @@ class DiscoverState(struct.PyTreeNode):
     rng: jax.Array
 
 
-def make_model(cfg: DiscoverConfig, sp_axis=None, sp_halos=()) -> MinkUNetRC:
+def make_model(cfg: DiscoverConfig, sp_axis=None, sp_halos=()):
+    if cfg.arch == "Cylinder3D":
+        # BASELINE config #4: the full Stage-2 discovery protocol on the
+        # Cylinder3D backbone (the reference's own wrapper is dead code,
+        # `/root/reference/models/cylinder3d.py:84-85`). Same head layout,
+        # same step; set feat_dim=128 (= 4 x base_channels) in the config
+        # so the candidate queue width matches.
+        from ..models.cylinder3d import Cylinder3DRC
+
+        if sp_axis is not None:
+            raise NotImplementedError(
+                "voxel-sharded SP is MinkUNet-only; run Cylinder3D discovery "
+                "data-parallel")
+        return Cylinder3DRC(
+            num_labeled=cfg.num_labeled_classes,
+            num_novel=cfg.num_unlabeled_classes,
+            ncc_heads=cfg.ncc_heads,
+        )
     return MinkUNetRC(
         num_labeled=cfg.num_labeled_classes,
         num_novel=cfg.num_unlabeled_classes,

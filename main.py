@@ -501,6 +501,9 @@ def main(args):
         # from the registry like the reference's substring dispatch
         # (`/root/reference/main.py:172-293`) resolves class names
         discover_kw = resolve_discover_overrides(cfg.module, cfg.dataset)
+        if cfg.arch == "Cylinder3D":
+            # queue width = 4 x base_channels (see discover.make_model)
+            discover_kw.setdefault("feat_dim", 128)
         dcfg = DiscoverConfig(
             num_labeled_classes=space["num_labeled_classes"],
             num_unlabeled_classes=space["num_unlabeled_classes"],
@@ -524,7 +527,14 @@ def main(args):
             **discover_kw,
         )
         pretrained = None
-        if cfg.pretrained:
+        if cfg.pretrained and cfg.arch == "Cylinder3D":
+            # Cylinder3D pretrains come from train/cylinder.py (its own
+            # param tree); use the discovery state itself as the template
+            from gcdlss_tpu.train.discover import create_discover_state
+
+            tmpl = create_discover_state(jax.random.PRNGKey(0), dcfg)
+            pretrained = load_pretrained(cfg.pretrained, tmpl.params_s)
+        elif cfg.pretrained:
             from gcdlss_tpu.train.pretrain import PretrainConfig, create_pretrain_state
 
             tmpl_cfg = PretrainConfig(

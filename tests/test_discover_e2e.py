@@ -108,6 +108,27 @@ def test_discover_train_step(setup):
     assert int(state2.step) == 2
 
 
+def test_discover_cylinder3d_backbone(setup):
+    """BASELINE config #4: the full Stage-2 discovery step runs and learns
+    on the Cylinder3D backbone (`discover.make_model` arch switch; the
+    reference's own wrapper is dead code,
+    `/root/reference/models/cylinder3d.py:84-85`)."""
+    import dataclasses
+    cfg, mapping, inv, unknown, lab_ds, unlab_ds, val_ds = setup
+    ccfg = dataclasses.replace(cfg, arch="Cylinder3D", feat_dim=128)
+    sup_vb, sup_pb, unsup_vb, unsup_pb = _device_batches(lab_ds, unlab_ds)
+    state = create_discover_state(jax.random.PRNGKey(3), ccfg)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params_s)[0]).copy()
+    state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, ccfg)
+    for k in ("loss", "sup_seg", "mse", "lasermix", "calib", "thr_loss"):
+        assert np.isfinite(float(m[k])), k
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params_s)[0])
+    assert not np.allclose(p0, p1)  # the student actually trained
+    state, m2 = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, ccfg)
+    assert np.isfinite(float(m2["loss"]))
+    assert int(state.step) == 2
+
+
 def test_discover_eval_protocol(setup):
     cfg, mapping, inv, unknown, lab_ds, unlab_ds, val_ds = setup
     state = create_discover_state(jax.random.PRNGKey(1), cfg)
