@@ -30,6 +30,7 @@ class ExperimentConfig:
     downsampling: int = 80000
     batch_size: int = 4
     num_workers: int = 8
+    loader_backend: str = "thread"  # or "process" (forked workers, GIL-free)
     # capacities (static shapes); 0 -> derived from downsampling * batch
     voxel_cap: int = 0
     point_cap: int = 0

@@ -63,6 +63,9 @@ parser.add_argument("--voxel_size", default=0.05, type=float)
 parser.add_argument("--downsampling", default=80000, type=int)
 parser.add_argument("--batch_size", default=4, type=int)
 parser.add_argument("--num_workers", default=8, type=int)
+parser.add_argument("--loader_backend", default=None, type=str,
+                    choices=(None, "thread", "process"),
+                    help="host loader worker backend (default: thread)")
 parser.add_argument("--log_dir", default="logs", type=str)
 parser.add_argument("--checkpoint_dir", default="checkpoints", type=str)
 parser.add_argument("--pretrained", type=str, default=None,
@@ -113,6 +116,7 @@ def main(args):
         ensure_split_file,
         load_split_indices,
         PrefetchLoader,
+        MultiprocessLoader,
     )
     from gcdlss_tpu.data.semantic_kitti import get_dataset
     from gcdlss_tpu.train.checkpoint import CheckpointManager, save_pretrained, load_pretrained
@@ -120,6 +124,13 @@ def main(args):
 
     overrides = {k: v for k, v in vars(args).items() if v is not None}
     cfg = load_config(args.dataset_config, **overrides)
+    # host loader backend: forked worker processes sidestep the GIL on
+    # multi-core hosts (torch DataLoader analog, /root/reference/main.py:27)
+    PrefetchLoader = (
+        MultiprocessLoader
+        if getattr(cfg, "loader_backend", None) == "process"
+        else PrefetchLoader
+    )
     if args.set_deterministic:
         np.random.seed(SEED)
 

@@ -94,6 +94,28 @@ def test_dataset_and_collation(kitti_root):
     assert np.all(np.diff(hi[:nvalid].astype(np.int64)) >= 0)
 
 
+def test_multiprocess_loader(kitti_root):
+    """MultiprocessLoader yields the same batch structure as PrefetchLoader
+    (forked workers, dataset copy per worker; torch-DataLoader analog)."""
+    from gcdlss_tpu.data.loader import MultiprocessLoader, PrefetchLoader
+
+    ds = SemanticKITTIDataset(
+        kitti_root, "train", voxel_size=0.1, downsampling=1200, augment=False,
+        seed=5,
+    )
+    kw = dict(point_cap=1500, shuffle=False, seed=7)
+    thr = list(PrefetchLoader(ds, 2, 4096, num_workers=2, **kw))
+    prc = list(MultiprocessLoader(ds, 2, 4096, num_workers=2, **kw))
+    assert len(thr) == len(prc) == len(ds) // 2
+    tb, pb = thr[0]["voxel"], prc[0]["voxel"]
+    assert tb.coords.shape == pb.coords.shape
+    assert tb.valid.dtype == pb.valid.dtype
+    # augment=False -> identical content regardless of worker backend
+    np.testing.assert_array_equal(tb.coords, pb.coords)
+    np.testing.assert_array_equal(
+        thr[0]["points"].xyz, prc[0]["points"].xyz)
+
+
 def test_split_files(kitti_root, tmp_path):
     path = ensure_split_file(str(tmp_path), "SemanticKITTI", 1, num_scans=4)
     assert path.endswith("selected_idx_in__ex_4_6_50%.npy")

@@ -51,16 +51,20 @@ def main():
     print(f"single-thread __getitem__: {per * 1e3:.1f} ms/scan "
           f"({1 / per:.1f} scans/s)", flush=True)
 
-    for nw in (1, 2, 4, 8):
-        lo = PrefetchLoader(ds, a.batch, a.voxel_cap // a.batch,
-                            point_cap=a.points, num_workers=nw, seed=1)
-        n = 0
-        t0 = time.perf_counter()
-        for batch in lo:
-            n += a.batch
-        dt = time.perf_counter() - t0
-        print(f"workers={nw}: {n / dt:.1f} scans/s "
-              f"({dt / (n / a.batch) * 1e3:.0f} ms/batch)", flush=True)
+    from gcdlss_tpu.data.loader import MultiprocessLoader
+
+    for backend, cls in (("thread", PrefetchLoader),
+                         ("process", MultiprocessLoader)):
+        for nw in (1, 2, 4, 8):
+            lo = cls(ds, a.batch, a.voxel_cap // a.batch,
+                     point_cap=a.points, num_workers=nw, seed=1)
+            n = 0
+            t0 = time.perf_counter()
+            for batch in lo:
+                n += a.batch
+            dt = time.perf_counter() - t0
+            print(f"{backend} workers={nw}: {n / dt:.1f} scans/s "
+                  f"({dt / (n / a.batch) * 1e3:.0f} ms/batch)", flush=True)
 
 
 if __name__ == "__main__":
