@@ -79,16 +79,12 @@ def sorted_unique(
       count: int32 scalar — number of valid unique keys.
     """
     n = hi.shape[0]
-    from . import sort_kernel as sk
-
-    if sk.enabled() and sk.supported(hi.shape[0]):
-        # VMEM-resident bitonic kernel (ops/sort_kernel.py); payload
-        # tie-break reproduces lexsort's stability bit-exactly
-        sh, sl, order = sk.lexsort3(hi, lo)
-    else:
-        order = jnp.lexsort((lo, hi))  # primary: hi, secondary: lo, stable
-        sh = hi[order]
-        sl = lo[order]
+    # A VMEM-resident bitonic sort kernel was tried here (round 3/4): bit-
+    # exact on HW but SLOWER than XLA's native sort on v5e (12.84 ms vs
+    # 8.49 ms at 276k rows, tools BENCH.md round-4 entry) — removed.
+    order = jnp.lexsort((lo, hi))  # primary: hi, secondary: lo, stable
+    sh = hi[order]
+    sl = lo[order]
     first = jnp.concatenate(
         [
             jnp.ones((1,), dtype=bool),

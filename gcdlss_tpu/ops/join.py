@@ -23,18 +23,11 @@ from .coords import SENTINEL_HI
 
 
 def _sort3(hi, lo2, payload):
-    """lax.sort((hi, lo2, payload), num_keys=2), kernel-backed when enabled.
+    """lax.sort((hi, lo2, payload), num_keys=2).
 
-    The bitonic kernel (ops/sort_kernel.py) compares payload as a tertiary
-    key; that refines the 2-key order only among exactly-equal (hi, lo2)
-    pairs, which the callers below are insensitive to (the tag packed in
-    lo2's LSB already separates table from query rows; within a side the
-    payload is an ascending arange, i.e. the stable order).
+    (A bitonic Pallas sort was benched here and lost to XLA's native sort
+    on v5e hardware — see BENCH.md round-4 sort-kernel burial note.)
     """
-    from . import sort_kernel as sk
-
-    if sk.enabled() and sk.supported(hi.shape[0]):
-        return sk.sort3(hi, lo2, payload)
     return jax.lax.sort((hi, lo2, payload), num_keys=2)
 
 

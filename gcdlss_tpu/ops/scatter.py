@@ -88,13 +88,7 @@ def hard_voxelize(points, feats, batch_idx, valid, point_cloud_range,
     seg = jnp.where(in_range, jnp.minimum(inverse, max_voxels), max_voxels)
     # slot of each point within its voxel: rank among same-voxel points.
     # points were assigned group ids in sorted order; rank = position - first.
-    from . import sort_kernel as _sk
-
-    if _sk.enabled() and _sk.supported(points.shape[0]):
-        rows = jnp.arange(points.shape[0], dtype=jnp.int32)
-        _, _, order = _sk.sort3(seg.astype(jnp.int32), rows, rows)
-    else:
-        order = jnp.lexsort((jnp.arange(points.shape[0]), seg))
+    order = jnp.lexsort((jnp.arange(points.shape[0]), seg))
     seg_sorted = seg[order]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), seg_sorted[1:] != seg_sorted[:-1]]

@@ -441,12 +441,7 @@ def _discover_step_impl(
     rows0 = jnp.arange(cap0, dtype=jnp.int32)
     h = (rows0 * jnp.int32(-1640531527)) & jnp.int32(0x07FFFFFF)
     key = jnp.where(cand_mask, h, h + jnp.int32(1 << 27))
-    from ..ops import sort_kernel as _sk
-
-    if _sk.enabled() and _sk.supported(cap0):
-        _, _, order = _sk.sort3(key, rows0, rows0)  # stable via row tie-break
-    else:
-        order = jnp.argsort(key)
+    order = jnp.argsort(key)
     cand_rows = order[:cand_cap]
     cand_valid = jnp.arange(cand_cap) < jnp.minimum(n_cand, cand_cap)
     cand_feats = feats_t[cand_rows] * cand_valid[:, None]

@@ -312,29 +312,3 @@ def test_presorted_plan_on_device_quantize_output():
     p1 = build_unet_plan(vox["coords"], vox["valid"], caps, presorted=True)
     for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_sort_kernel_matches_lexsort():
-    """ops/sort_kernel.py bitonic kernel (interpret mode) is bit-exact vs
-    jnp.lexsort, including stability (payload tie-break) and sentinel pads."""
-    from gcdlss_tpu.ops.sort_kernel import sort3, _schedule
-    from gcdlss_tpu.ops.coords import SENTINEL_HI, SENTINEL_LO
-
-    rng = np.random.default_rng(11)
-    for n in (1024, 1200):  # pow2 and padded-to-2048 shapes
-        hi = rng.integers(0, 37, n).astype(np.int32)  # many duplicate keys
-        lo = rng.integers(0, 37, n).astype(np.int32)
-        # sprinkle sentinel (invalid) rows like encode_coords emits
-        sent = rng.random(n) < 0.1
-        hi[sent] = int(SENTINEL_HI)
-        lo[sent] = int(SENTINEL_LO)
-        pay = np.arange(n, dtype=np.int32)
-        sh, sl, sp = sort3(jnp.asarray(hi), jnp.asarray(lo),
-                           jnp.asarray(pay), interpret=True)
-        order = np.lexsort((lo, hi))
-        assert np.array_equal(np.asarray(sh), hi[order]), n
-        assert np.array_equal(np.asarray(sl), lo[order]), n
-        assert np.array_equal(np.asarray(sp), order), ("stability", n)
-    # schedule sanity for 2^10 rows: 6 sublane steps (rounds 2^8..2^10)
-    # + 10 lane-cascade steps (one per round)
-    assert _schedule(1024).shape == (16, 2)
