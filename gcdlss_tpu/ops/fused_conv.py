@@ -978,15 +978,11 @@ def _fused_core_T_fwd(xT, nbr, weight, interpret):
     k, _, co = weight.shape
     cpad = _cpad_for(ci)
     k8 = _round_up(k, 8)
-    from . import compact_conv as _cc
-
-    if (_cc.compact_enabled() and ci >= _cc.compact_min_ci()
-            and n % BLOCK == 0):
-        # fill-only FLOPs at the ci>=128 levels (~85% of the network's
-        # dense-dot work; BENCH.md viability boundary). The backward below
-        # plans its own windows from nbr_rev, so it pairs unchanged.
-        out = _cc.compact_subm_conv_T(xT, nbr, weight, interpret=interpret)
-        return out, (xT, nbr, weight, _pack_cols(xT, cpad))
+    # (A "compacted fill-only FLOPs" path was built and HW-benched here in
+    # rounds 3-4 and REMOVED: see BENCH.md round-4 compact-conv burial —
+    # the dense dot is ~2.7 ms of the 9.4 ms L3 conv, gather+DMA dominate,
+    # and the compacted r round-trip + per-tile window DMA cost more than
+    # the dot waste it recovers. Measured 17.3 ms vs 9.4 ms windowed.)
     w_f, dbuf_f = _fwd_geometry(cpad, co, k)
     vw = _var_windows(w_f, SUBWIN)
     ws, ss, relT, far, far_n = plan_windows(nbr, window=w_f, var_window=vw)
@@ -1012,15 +1008,6 @@ def _fused_core_T_bwd(interpret, res, g_out):
     cpad = 2 * xTp.shape[0]
     copad = _cpad_for(co)
     g_out = g_out.astype(jnp.float32)  # [co, n]
-    from . import compact_conv as _cc
-
-    if (_cc.compact_enabled() and min(ci, co) >= _cc.compact_min_ci()
-            and n % BLOCK == 0):
-        # fill-only FLOPs: dX = compacted conv over the reversed book,
-        # dW = compacted outer-product accumulation (compact_conv.py)
-        dxT, dw = _cc.compact_bwd_T(xT, nbr, weight, g_out,
-                                    interpret=interpret)
-        return dxT.astype(xT.dtype), None, dw.astype(weight.dtype)
     goT = _pack_cols(g_out, copad)
     nbr_rev = nbr[:, ::-1]
     w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
