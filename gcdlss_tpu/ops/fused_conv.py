@@ -64,35 +64,6 @@ FAR_CAP = 4096
 
 _ENABLED = os.environ.get("GCDLSS_FUSED_CONV", "1") != "0"
 
-# Variant-length window DMA: per-block, DMA only the smallest variant that
-# covers the block's row span instead of the full WINDOW. Measured span
-# statistics (tools/tile_union_stats.py, bench-realistic books): the tiles a
-# block references are CONTIGUOUS (union == span everywhere), and the span
-# needs only 0.24-0.38 of the 16-tile window at B=256 — a ~3x cut of the
-# window DMA, which is the kernel's dominant cost (BENCH.md). Entries beyond
-# a block's chosen window fall to the exact far/COO path, same as the fixed
-# window. Default-off until HW-validated (flips a Mosaic recompile).
-def _var_windows(window: int, subwin: int) -> tuple | None:
-    """Static window-length variants (rows) for the ambient geometry.
-
-    Env read at call time (tests toggle it); the jitted wrappers key their
-    caches on the resulting static tuple. GCDLSS_FUSED_WVAR overrides the
-    candidate lengths (comma-separated rows, e.g. "512,768,1024,2048") for
-    HW sweeps; lengths outside [subwin, window] are dropped."""
-    if os.environ.get("GCDLSS_FUSED_VARWIN", "0") != "1":
-        return None
-    cand = os.environ.get("GCDLSS_FUSED_WVAR", "")
-    cand = ([int(v) for v in cand.split(",")] if cand
-            else [subwin, 2 * subwin, window])
-    vw = sorted({v for v in cand if subwin <= v <= window and v % 128 == 0})
-    # always include the full window as the top variant: spans beyond the
-    # top variant go far/COO, so a short top would inflate far counts (and
-    # can hit the FAR_CAP poison) relative to the fixed-window baseline
-    if not vw or vw[-1] != window:
-        vw.append(window)
-    return tuple(vw) if len(vw) > 1 else None
-
-
 def enabled_on(platform: str | None = None) -> bool:
     if not (_ENABLED and _HAS_PLTPU):
         return False
@@ -120,18 +91,11 @@ def _cpad_for(ci: int) -> int:
 
 def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
                  subwin: int = None, far_cap: int = FAR_CAP,
-                 n_src: int | None = None,
-                 var_window: tuple | None = None):
+                 n_src: int | None = None):
     """Window/sub-window starts + window-relative rulebook for the kernel.
 
     Returns (ws [NB], ss [NB, K8], relT [NB*K8, B], far (out, in, k) COO
     with -1 padding, far_count).
-
-    With `var_window` (ascending 128-multiples in [subwin, window]), each
-    block selects the smallest variant covering its span and ws packs
-    (start & ~127) | (length // 128) into the start's free low 7 bits; the
-    kernel then DMAs only that many tiles. Entries beyond a block's window
-    are classified far (exact COO), same rule as the fixed window.
 
     Layout note: every elementwise/reduce op here runs on a [k8-sublane,
     N-lane] transposed view. The naive [N, 27] formulation keeps a 27-wide
@@ -164,32 +128,12 @@ def plan_windows(nbr: jax.Array, block: int = None, window: int = None,
     big = jnp.where(nbrT >= 0, nbrT, jnp.int32(1 << 30))
     mins = jnp.min(big, axis=2)  # [nb, k8]
     anymin = jnp.min(mins, axis=1)  # [nb]
-    if var_window is None:
-        ws = jnp.clip(
-            jnp.where(anymin >= (1 << 30), 0, anymin),
-            0, max(n_src - window, 0),
-        ).astype(jnp.int32) & ~jnp.int32(127)
-        wlen_rows = window  # scalar: static base-clip bound below
-        ws_out = ws
-    else:
-        vw = tuple(var_window)
-        assert list(vw) == sorted(vw) and all(
-            v % 128 == 0 and subwin <= v <= window for v in vw
-        ), f"bad var_window {vw} for subwin={subwin} window={window}"
-        ws = (jnp.where(anymin >= (1 << 30), 0, anymin).astype(jnp.int32)
-              & ~jnp.int32(127))
-        bigmax = jnp.max(jnp.where(nbrT >= 0, nbrT, -1).reshape(nb, -1),
-                         axis=1)  # [nb]
-        span0 = bigmax - ws + 1  # <= 0 for empty blocks
-        wlen = jnp.full((nb,), vw[-1], jnp.int32)
-        for v in reversed(vw[:-1]):
-            wlen = jnp.where(span0 <= v, jnp.int32(v), wlen)
-        # keep the DMA inside the source buffer; a clip-down near the buffer
-        # top can push trailing entries past the window — they go far/COO
-        ws = jnp.maximum(
-            jnp.minimum(ws, (jnp.int32(n_src) - wlen) & ~jnp.int32(127)), 0)
-        wlen_rows = wlen[:, None, None]  # [nb,1,1]: per-block base clip
-        ws_out = ws | (wlen // 128)
+    ws = jnp.clip(
+        jnp.where(anymin >= (1 << 30), 0, anymin),
+        0, max(n_src - window, 0),
+    ).astype(jnp.int32) & ~jnp.int32(127)
+    wlen_rows = window  # scalar: static base-clip bound below
+    ws_out = ws
     # ragged gather planning: rulebooks are monotone per offset, so the rows
     # a 128-lane chunk needs span far fewer tiles than the sub-window. Per
     # (block, offset, 128-chunk): a 128-aligned chunk base plus the number
@@ -342,46 +286,27 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
                         cch * 128:(cch + 1) * 128] = acc
 
 
-def _window_dma(src_hbm, buf, ws_ref, j, sem_slot, W, wvar, op):
-    """Issue (op='start') or complete (op='wait') block j's window copy.
-
-    With `wvar` (static row-length variants), ws packs (start | ntiles) and
-    only the block's variant branch runs — start and wait rebuild identical
-    copy descriptors under identical predicates, so the semaphore pairing
-    matches. Buffer lanes past the variant length keep stale data; the
-    gather never reads them (plan_windows clips every sub-window base to
-    the block's wlen - subwin)."""
-    wsv = ws_ref[j]
-    if wvar is None:
-        dma = pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(pl.multiple_of(wsv, 128), W)], buf, sem_slot)
-        getattr(dma, op)()
-        return
-    nt = wsv & 127
-    ws0 = pl.multiple_of(wsv - nt, 128)
-    for v in wvar:
-
-        @pl.when(nt == v // 128)
-        def _(v=v):
-            dma = pltpu.make_async_copy(
-                src_hbm.at[:, pl.ds(ws0, v)],
-                buf.at[:, pl.ds(0, v)], sem_slot)
-            getattr(dma, op)()
+def _window_dma(src_hbm, buf, ws_ref, j, sem_slot, W, op):
+    """Issue (op='start') or complete (op='wait') block j's window copy."""
+    dma = pltpu.make_async_copy(
+        src_hbm.at[:, pl.ds(pl.multiple_of(ws_ref[j], 128), W)], buf,
+        sem_slot)
+    getattr(dma, op)()
 
 
 def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
                 win_a, win_b, gst, sem, *, B, W, WK, K, Cpad, Co,
-                TOUT=False, WVAR=None):
+                TOUT=False):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     C2 = Cpad // 2
     dbuf = win_b is not None
 
     def start(buf, j, s):
-        _window_dma(xT_hbm, buf, ws_ref, j, sem.at[s], W, WVAR, "start")
+        _window_dma(xT_hbm, buf, ws_ref, j, sem.at[s], W, "start")
 
     def wait(buf, j, s):
-        _window_dma(xT_hbm, buf, ws_ref, j, sem.at[s], W, WVAR, "wait")
+        _window_dma(xT_hbm, buf, ws_ref, j, sem.at[s], W, "wait")
 
     if not dbuf:
         # single-buffered: large-channel convs trade DMA overlap for VMEM
@@ -438,7 +363,7 @@ def _fwd_kernel(ws_ref, ss_ref, xT_hbm, rel_ref, w_ref, o_ref,
 
 def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
                 dx_ref, dw_hbm, win_a, win_b, gst, dw_acc, sem,
-                *, B, W, WK, K, Copad, CiChunk, TOUT=False, WVAR=None):
+                *, B, W, WK, K, Copad, CiChunk, TOUT=False):
     ci_c = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -446,10 +371,10 @@ def _bwd_kernel(ws_ref, ss_ref, goT_hbm, rel_ref, wmat_ref, xT_ref,
     dbuf = win_b is not None
 
     def start(buf, j, s):
-        _window_dma(goT_hbm, buf, ws_ref, j, sem.at[s], W, WVAR, "start")
+        _window_dma(goT_hbm, buf, ws_ref, j, sem.at[s], W, "start")
 
     def wait(buf, j, s):
-        _window_dma(goT_hbm, buf, ws_ref, j, sem.at[s], W, WVAR, "wait")
+        _window_dma(goT_hbm, buf, ws_ref, j, sem.at[s], W, "wait")
 
     if not dbuf:
         # single-buffered: large-channel convs trade DMA overlap for VMEM
@@ -566,9 +491,9 @@ def _fwd_geometry(cpad: int, co: int, k: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "B", "W", "WK", "dbuf", "interpret",
-                                    "tout", "wvar"))
+                                    "tout"))
 def _fused_fwd_one(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
-                   interpret=False, tout=False, wvar=None):
+                   interpret=False, tout=False):
     """wflat is k8-padded: [k8*cpad, co] with zero rows for offsets >= k, so
     stale gst rows beyond the real offsets contribute nothing to the dot.
     With `tout` the output is the transposed [co, n] block layout."""
@@ -578,7 +503,7 @@ def _fused_fwd_one(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
     k8 = _round_up(k, 8)
     nb = nbk // k8
     kern = functools.partial(_fwd_kernel, B=B, W=W, WK=WK, K=k, Cpad=cpad,
-                             Co=co, TOUT=tout, WVAR=wvar)
+                             Co=co, TOUT=tout)
     if dbuf:
         win_scratch = [pltpu.VMEM((cpad // 2, W), jnp.int32),
                        pltpu.VMEM((cpad // 2, W), jnp.int32)]
@@ -624,9 +549,9 @@ def _fused_fwd_one(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "B", "W", "WK", "interpret",
-                                    "tout", "wvar"))
+                                    "tout"))
 def _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
-                   interpret=False, tout=False, wvar=None):
+                   interpret=False, tout=False):
     """Returns (dX [N, Cpad] f32, dW_flat [Cpad, K8*Copad] f32).
 
     wmat is k8-padded ([k8*copad, cpad], zero rows beyond the real offsets)
@@ -649,7 +574,7 @@ def _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
     n_chunks = cpad // ci_chunk
     dbuf = copad <= 128
     kern = functools.partial(_bwd_kernel, B=B, W=W, WK=WK, K=k, Copad=copad,
-                             CiChunk=ci_chunk, TOUT=tout, WVAR=wvar)
+                             CiChunk=ci_chunk, TOUT=tout)
     if dbuf:
         win_scratch = [
             pltpu.VMEM((copad // 2, W), jnp.int32),
@@ -742,25 +667,21 @@ def _pad_books(ws, ss, relT, k8, B, nb, nbp):
 
 
 def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
-                    interpret=False, tout=False, wvar=None):
+                    interpret=False, tout=False):
     k8 = _round_up(k, 8)
     nb = ws.shape[0]
     nb_max = _nb_limit(k8, B)
     if nb <= nb_max:
         return _fused_fwd_one(xT, ws, ss, relT, wflat, k=k, B=B, W=W, WK=WK,
-                              dbuf=dbuf, interpret=interpret, tout=tout,
-                              wvar=wvar)
+                              dbuf=dbuf, interpret=interpret, tout=tout)
     nch, nbc, nbp = _chunk_geometry(nb, nb_max)
-    # padded tail blocks carry ws=0: under wvar the packed ntile=0 issues no
-    # DMA and no wait (matching predicates), and their rel=-1 books gather
-    # exact zeros
+    # padded tail blocks carry ws=0 and rel=-1 books, gathering exact zeros
     ws_p, ss_p, rel_p = _pad_books(ws, ss, relT, k8, B, nb, nbp)
     outs = [
         _fused_fwd_one(
             xT, ws_p[c * nbc:(c + 1) * nbc], ss_p[c * nbc:(c + 1) * nbc],
             rel_p[c * nbc * k8:(c + 1) * nbc * k8], wflat,
-            k=k, B=B, W=W, WK=WK, dbuf=dbuf, interpret=interpret, tout=tout,
-            wvar=wvar)
+            k=k, B=B, W=W, WK=WK, dbuf=dbuf, interpret=interpret, tout=tout)
         for c in range(nch)
     ]
     out = jnp.concatenate(outs, axis=1 if tout else 0)
@@ -768,14 +689,13 @@ def _fused_fwd_core(xT, ws, ss, relT, wflat, *, k, B, W, WK, dbuf=True,
 
 
 def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
-                    interpret=False, tout=False, wvar=None):
+                    interpret=False, tout=False):
     k8 = _round_up(k, 8)
     nb = relT_rev.shape[0] // k8
     nb_max = _nb_limit(k8, B)
     if nb <= nb_max:
         return _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, k=k, B=B,
-                              W=W, WK=WK, interpret=interpret, tout=tout,
-                              wvar=wvar)
+                              W=W, WK=WK, interpret=interpret, tout=tout)
     nch, nbc, nbp = _chunk_geometry(nb, nb_max)
     ws_p, ss_p, rel_p = _pad_books(ws, ss, relT_rev, k8, B, nb, nbp)
     # xT is blocked by the nb grid axis in the backward kernel (it feeds the
@@ -788,7 +708,7 @@ def _fused_bwd_core(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
             goT, xT_p[:, c * nbc * B:(c + 1) * nbc * B],
             ws_p[c * nbc:(c + 1) * nbc], ss_p[c * nbc:(c + 1) * nbc],
             rel_p[c * nbc * k8:(c + 1) * nbc * k8], wmat,
-            k=k, B=B, W=W, WK=WK, interpret=interpret, tout=tout, wvar=wvar)
+            k=k, B=B, W=W, WK=WK, interpret=interpret, tout=tout)
         dxs.append(dx_c)
         dw = dw_c if dw is None else dw + dw_c
     dx = jnp.concatenate(dxs, axis=1 if tout else 0)
@@ -808,16 +728,14 @@ def _fused_core_fwd(feats, nbr, weight, interpret):
     cpad = _cpad_for(ci)
     k8 = _round_up(k, 8)
     w_f, dbuf_f = _fwd_geometry(cpad, co, k)
-    vw = _var_windows(w_f, SUBWIN)
-    ws, ss, relT, far, far_n = plan_windows(nbr, window=w_f, var_window=vw)
+    ws, ss, relT, far, far_n = plan_windows(nbr, window=w_f)
     xT = _pad_T(feats, cpad)
     wflat = jnp.zeros((k8, cpad, co), jnp.bfloat16)
     wflat = jax.lax.dynamic_update_slice(
         wflat, weight.astype(jnp.bfloat16), (0, 0, 0)
     ).reshape(k8 * cpad, co)
     out = _fused_fwd_core(xT, ws, ss, relT, wflat, k=k, dbuf=dbuf_f,
-                          B=BLOCK, W=w_f, WK=SUBWIN, interpret=interpret,
-                          wvar=vw)
+                          B=BLOCK, W=w_f, WK=SUBWIN, interpret=interpret)
     # the COO finish costs ~3-5 ms even with zero entries (27-step scan of
     # [far_cap, C] dots) — skip it entirely on the (typical) far-free path
     out = jax.lax.cond(
@@ -847,9 +765,7 @@ def _fused_core_bwd(interpret, res, g_out):
     # large-channel adjoints use a smaller window (VMEM budget; see
     # _fused_bwd_core) — the extra out-of-window entries go to the COO pass
     w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
-    vw2 = _var_windows(w2, SUBWIN)
-    ws2, ss2, relT2, far2, far_n2 = plan_windows(nbr_rev, window=w2,
-                                                 var_window=vw2)
+    ws2, ss2, relT2, far2, far_n2 = plan_windows(nbr_rev, window=w2)
     # wmat[k*copad + co_i, ci] = weight[k, ci, co_i]  (k8-padded)
     k8 = _round_up(k, 8)
     wmat = jnp.zeros((k8, copad, cpad), jnp.bfloat16)
@@ -858,7 +774,7 @@ def _fused_core_bwd(interpret, res, g_out):
     ).reshape(k8 * copad, cpad)
     dx_pad, dw_flat = _fused_bwd_core(
         goT, xT, ws2, ss2, relT2, wmat, k=k,
-        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret, wvar=vw2,
+        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret,
     )
     dx = dx_pad[:, :ci]
     dw = dw_flat.reshape(cpad, k8, copad)[:ci, :k, :co].transpose(1, 0, 2)
@@ -984,13 +900,12 @@ def _fused_core_T_fwd(xT, nbr, weight, interpret):
     # and the compacted r round-trip + per-tile window DMA cost more than
     # the dot waste it recovers. Measured 17.3 ms vs 9.4 ms windowed.)
     w_f, dbuf_f = _fwd_geometry(cpad, co, k)
-    vw = _var_windows(w_f, SUBWIN)
-    ws, ss, relT, far, far_n = plan_windows(nbr, window=w_f, var_window=vw)
+    ws, ss, relT, far, far_n = plan_windows(nbr, window=w_f)
     xTp = _pack_cols(xT, cpad)
     wflat = _wflat_perm(weight, cpad, k8)
     out = _fused_fwd_core(xTp, ws, ss, relT, wflat, k=k, dbuf=dbuf_f,
                           B=BLOCK, W=w_f, WK=SUBWIN, interpret=interpret,
-                          tout=True, wvar=vw)  # [co, n] f32
+                          tout=True)  # [co, n] f32
 
     def _with_far(o):
         fc = far_contribution(xT.T, far, weight, n)  # rare: pays transposes
@@ -1011,9 +926,7 @@ def _fused_core_T_bwd(interpret, res, g_out):
     goT = _pack_cols(g_out, copad)
     nbr_rev = nbr[:, ::-1]
     w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
-    vw2 = _var_windows(w2, SUBWIN)
-    ws2, ss2, relT2, far2, far_n2 = plan_windows(nbr_rev, window=w2,
-                                                 var_window=vw2)
+    ws2, ss2, relT2, far2, far_n2 = plan_windows(nbr_rev, window=w2)
     k8 = _round_up(k, 8)
     # wmat rows follow g's bf16-unpack (split-halves) order on copad; its
     # minor axis stays natural-cpad so dx rows come out in channel order
@@ -1026,7 +939,7 @@ def _fused_core_T_bwd(interpret, res, g_out):
     wmat_p = wmat_p.reshape(k8 * copad, cpad)
     dxT_pad, dw_flat = _fused_bwd_core(
         goT, xTp, ws2, ss2, relT2, wmat_p, k=k,
-        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret, tout=True, wvar=vw2,
+        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret, tout=True,
     )
     dxT = dxT_pad[:ci]  # [ci, n]
     # dw rows/lanes are in bf16-unpack order on BOTH axes: unpermute
@@ -1084,14 +997,12 @@ def _fused_pool_core_T_fwd(xT, nbr_fwd, nbr_adj, weight, interpret):
     k8 = _round_up(k, 8)
     n_out = nbr_fwd.shape[0]
     w_f, dbuf_f = _fwd_geometry(cpad, co, k)
-    vw = _var_windows(w_f, SUBWIN)
-    ws, ss, relT, far, far_n = plan_windows(nbr_fwd, window=w_f, n_src=n_in,
-                                            var_window=vw)
+    ws, ss, relT, far, far_n = plan_windows(nbr_fwd, window=w_f, n_src=n_in)
     xTp = _pack_cols(xT, cpad)
     wflat = _wflat_perm(weight, cpad, k8)
     out = _fused_fwd_core(xTp, ws, ss, relT, wflat, k=k, dbuf=dbuf_f,
                           B=BLOCK, W=w_f, WK=SUBWIN, interpret=interpret,
-                          tout=True, wvar=vw)  # [co, n_out]
+                          tout=True)  # [co, n_out]
 
     def _with_far(o):
         fc = far_contribution(xT.T, far, weight, n_out)
@@ -1114,9 +1025,8 @@ def _fused_pool_core_T_bwd(interpret, res, g_out):
     g_out = g_out.astype(jnp.float32)  # [co, n_out]
     goT = _pack_cols(g_out, copad)
     w2 = WINDOW if copad <= 128 else max(SUBWIN, WINDOW // 2)
-    vw2 = _var_windows(w2, SUBWIN)
     ws2, ss2, relT2, far2, far_n2 = plan_windows(
-        nbr_adj, window=w2, n_src=g_out.shape[1], var_window=vw2)
+        nbr_adj, window=w2, n_src=g_out.shape[1])
     k8 = _round_up(k, 8)
     wmat = jnp.zeros((k, copad, cpad), jnp.bfloat16)
     wmat = jax.lax.dynamic_update_slice(
@@ -1127,7 +1037,7 @@ def _fused_pool_core_T_bwd(interpret, res, g_out):
     wmat_p = wmat_p.reshape(k8 * copad, cpad)
     dxT_pad, dw_flat = _fused_bwd_core(
         goT, xTp, ws2, ss2, relT2, wmat_p, k=k,
-        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret, tout=True, wvar=vw2,
+        B=BLOCK, W=w2, WK=SUBWIN, interpret=interpret, tout=True,
     )
     dxT = dxT_pad[:ci]  # [ci, n_in]
     dw = dw_flat[_inv_chan_perm(cpad)].reshape(cpad, k8, copad)

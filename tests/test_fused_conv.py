@@ -333,194 +333,3 @@ def test_fused_chunked_matches_unchunked(monkeypatch):
     # single-call accumulation
     np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
                                rtol=1e-5, atol=1e-5)
-
-
-def test_fused_chunked_T_matches_unchunked(monkeypatch):
-    """Same for the transposed-activation layout."""
-    rng = np.random.default_rng(8)
-    cap = 2048
-    ci, co = 16, 32
-    nbr, feats, valid = _nbr_and_feats(rng, cap, ci, "k3")
-    k = nbr.shape[1]
-    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
-    xT = feats.T
-    ref = fc.fused_subm_conv_T(xT, nbr, w, interpret=True)
-    monkeypatch.setattr(fc, "NB_MAX", 3)
-    out = fc.fused_subm_conv_T(xT, nbr, w, interpret=True)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
-
-
-def test_fused_far_overflow_poisons(monkeypatch):
-    """More far entries than FAR_CAP cannot be represented (static shapes):
-    the output must be poisoned (NaN), never a silently-truncated sum."""
-    monkeypatch.setattr(fc, "FAR_CAP", 16)
-    rng = np.random.default_rng(3)
-    cap, ci, co = 2048, 16, 16
-    nbr, feats, valid = _nbr_and_feats(rng, cap, ci)
-    nbr = np.asarray(nbr).copy()
-    # targets half the array away are guaranteed outside any sub-window
-    rows = rng.choice(cap, size=128, replace=False)
-    cols = rng.integers(0, nbr.shape[1], size=128)
-    nbr[rows, cols] = (rows + cap // 2) % cap
-    nbr = jnp.asarray(nbr)
-    _, _, _, _, far_n = fc.plan_windows(nbr)
-    assert int(far_n) > 16, "fixture must overflow the patched cap"
-    w = jnp.asarray(
-        rng.standard_normal((nbr.shape[1], ci, co)).astype(np.float32) * 0.1)
-    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
-    assert np.isnan(np.asarray(out)).all(), "far overflow must poison"
-
-
-def _varwin_book(rng, n=4096, k=27):
-    """Blocks cycle span classes ~376/~856/~1856 rows (variants 512/1024/
-    2048), plus injected far entries (~3500 rows away — far under BOTH the
-    fixed 2048 window and every variant, so the near/far classification is
-    identical across paths)."""
-    B = 256
-    nbr = np.full((n, k), -1, np.int32)
-    nbr[:, k // 2] = np.arange(n)
-    for b in range(n // B):
-        rows = np.arange(b * B, (b + 1) * B)
-        spread = [60, 300, 800][b % 3]
-        for kk in range(k):
-            if kk == k // 2:
-                continue
-            off = int(rng.integers(-spread, spread + 1))
-            tgt = rows + off
-            ok = (tgt >= 0) & (tgt < n) & (rng.random(B) < 0.3)
-            nbr[rows, kk] = np.where(ok, tgt, -1)
-    nbr[300:304, 0] = [3500, 3600, 3700, 3800]  # far in both paths
-    return nbr
-
-
-def test_varwin_matches_fixed_window(monkeypatch):
-    """Variant-length window DMA (GCDLSS_FUSED_VARWIN=1): identical
-    classification book => fwd/dX/dW match the fixed-window path (the
-    kernels gather the same rows, so the MXU products are the same), and
-    both match the gather oracle."""
-    rng = np.random.default_rng(11)
-    n, k, ci, co = 4096, 27, 16, 16
-    nbr = jnp.asarray(_varwin_book(rng, n, k))
-    feats = jnp.asarray(
-        rng.standard_normal((n, ci)).astype(np.float32)).astype(jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
-    cot = jnp.asarray(rng.standard_normal((n, co)).astype(np.float32))
-
-    def loss(f, ww):
-        return jnp.sum(
-            fc.fused_subm_conv(f, nbr, ww, interpret=True).astype(jnp.float32)
-            * cot)
-
-    monkeypatch.delenv("GCDLSS_FUSED_VARWIN", raising=False)
-    ref_out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
-    ref_dx, ref_dw = jax.grad(loss, argnums=(0, 1))(feats, w)
-
-    monkeypatch.setenv("GCDLSS_FUSED_VARWIN", "1")
-    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
-    dx, dw = jax.grad(loss, argnums=(0, 1))(feats, w)
-
-    np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(ref_out, np.float32),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dx, np.float32),
-                               np.asarray(ref_dx, np.float32),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dw, np.float32),
-                               np.asarray(ref_dw, np.float32),
-                               rtol=1e-5, atol=1e-5)
-    oracle = gather_conv(feats, nbr, w)
-    np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(oracle, np.float32),
-                               rtol=0.05, atol=0.05)
-
-    # the plan really dispatched multiple variants, packed in ws low bits
-    vw = fc._var_windows(fc.WINDOW, fc.SUBWIN)
-    assert vw is not None and len(vw) >= 2
-    ws, ss, relT, far, far_n = fc.plan_windows(nbr, var_window=vw)
-    sel = np.asarray(ws) & 127
-    assert set(np.unique(sel).tolist()) >= {v // 128 for v in vw}
-    assert int(far_n) >= 4  # the injected far entries stayed far
-
-
-def test_varwin_T_and_pool(monkeypatch):
-    """Transposed-activation and pool-conv paths under GCDLSS_FUSED_VARWIN:
-    parity vs their fixed-window outputs (same-classification books)."""
-    monkeypatch.setenv("GCDLSS_FUSED_VARWIN", "1")
-    rng = np.random.default_rng(13)
-    n, k, ci, co = 2048, 27, 32, 16
-    nbr = jnp.asarray(_varwin_book(rng, n, k))
-    xT = jnp.asarray(
-        rng.standard_normal((ci, n)).astype(np.float32)).astype(jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
-    outT = fc.fused_subm_conv_T(xT, nbr, w, interpret=True)
-    monkeypatch.delenv("GCDLSS_FUSED_VARWIN")
-    refT = fc.fused_subm_conv_T(xT, nbr, w, interpret=True)
-    np.testing.assert_allclose(np.asarray(outT, np.float32),
-                               np.asarray(refT, np.float32),
-                               rtol=1e-5, atol=1e-5)
-
-    # pool conv: reuse a real plan's children/upmap books
-    monkeypatch.setenv("GCDLSS_FUSED_VARWIN", "1")
-    coords, valid = _sorted_coords(rng, 8192)
-    plan = build_unet_plan(coords, valid, (8192, 2048, 256, 256, 256))
-    pool = plan.pools[0]
-    wp = jnp.asarray(rng.standard_normal((8, ci, co)).astype(np.float32) * 0.1)
-    outp = fc.fused_pool_conv_T(xT_big := jnp.asarray(
-        rng.standard_normal((ci, 8192)).astype(np.float32)
-    ).astype(jnp.bfloat16), pool.children, pool.upmap, wp, interpret=True)
-    monkeypatch.delenv("GCDLSS_FUSED_VARWIN")
-    refp = fc.fused_pool_conv_T(xT_big, pool.children, pool.upmap, wp,
-                                interpret=True)
-    np.testing.assert_allclose(np.asarray(outp, np.float32),
-                               np.asarray(refp, np.float32),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_varwin_chunked_matches_unchunked(monkeypatch):
-    """Grid chunking under GCDLSS_FUSED_VARWIN: padded tail blocks carry a
-    packed ntile of 0 (no DMA, no wait) and the chunked outputs equal the
-    single-call variant-window path."""
-    monkeypatch.setenv("GCDLSS_FUSED_VARWIN", "1")
-    rng = np.random.default_rng(17)
-    n, k, ci, co = 4096, 27, 16, 16
-    nbr = jnp.asarray(_varwin_book(rng, n, k))
-    feats = jnp.asarray(
-        rng.standard_normal((n, ci)).astype(np.float32)).astype(jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
-    mod = jnp.asarray(rng.standard_normal((n, co)).astype(np.float32))
-
-    def loss(f, wt):
-        return jnp.sum(fc.fused_subm_conv(f, nbr, wt, interpret=True)
-                       .astype(jnp.float32) * mod)
-
-    ref_out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
-    ref_dx, ref_dw = jax.grad(loss, argnums=(0, 1))(feats, w)
-
-    monkeypatch.setattr(fc, "NB_MAX", 3)  # nb=16 -> 6 chunks of 3, 2 padded
-    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
-    dx, dw = jax.grad(loss, argnums=(0, 1))(feats, w)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
-    np.testing.assert_array_equal(np.asarray(dx), np.asarray(ref_dx))
-    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_varwin_with_ragged_off(monkeypatch):
-    """GCDLSS_FUSED_RAGGED=0 (full-tile-scan bisection fallback) composed
-    with GCDLSS_FUSED_VARWIN=1 — the mega pipelines can run this combo when
-    ragged parity fails on HW. The fallback's ntile=subwin//128 tiles all
-    sit below base + subwin <= the block's variant length, so the gather
-    never reads past the copied window."""
-    monkeypatch.setenv("GCDLSS_FUSED_RAGGED", "0")
-    monkeypatch.setenv("GCDLSS_FUSED_VARWIN", "1")
-    rng = np.random.default_rng(23)
-    n, k, ci, co = 4096, 27, 16, 16
-    nbr = jnp.asarray(_varwin_book(rng, n, k))
-    feats = jnp.asarray(
-        rng.standard_normal((n, ci)).astype(np.float32)).astype(jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
-    out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
-    oracle = gather_conv(feats, nbr, w)
-    np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(oracle, np.float32),
-                               rtol=0.05, atol=0.05)
