@@ -565,14 +565,39 @@ def _fused_bwd_one(goT, xT, ws, ss, relT_rev, wmat, *, k, B, W, WK,
 
     # ci_chunk sized to a ~13 MB VMEM budget: the dw output block
     # [ci_chunk, k*copad] f32 dominates at large channel counts (256-ch
-    # convs OOM'd the 16 MB scoped vmem at ci_chunk=128)
-    # lane-dim blocks must be 128-multiples, so ci_chunk is fixed at
-    # min(cpad, 128); large channel counts instead shrink the DMA window and
-    # drop double-buffering to stay inside the 16 MB scoped-VMEM limit (the
-    # 256-ch convs OOM'd at W=2048 dbuf: 19.06M scoped)
-    ci_chunk = min(cpad, 128)
-    n_chunks = cpad // ci_chunk
+    # convs OOM'd the 16 MB scoped vmem at ci_chunk=128); large channel
+    # counts also shrink the DMA window and drop double-buffering.
+    # ci_chunk MUST DIVIDE cpad: `min(cpad, 128)` silently floor-divided
+    # cpad=192 (the decoder's 128+64-concat convs) to ONE chunk, leaving dx
+    # channels 128-191 and the dw tail unwritten — NaN in interpret mode,
+    # stale garbage on HW (round-4 regression test test_fused_bwd_ci192).
+    # cpad is a 32-multiple (_cpad_for), so a 32-mult divisor <= 128 always
+    # exists; prefer the largest (fewer grid sweeps re-gather the window).
+    ci_chunk = next(d for d in (128, 96, 64, 32) if cpad % d == 0)
     dbuf = copad <= 128
+    # Single ci sweep when VMEM affords it: the ci-chunk grid axis re-DMAs
+    # the window and re-gathers gst once PER CHUNK (gst depends only on the
+    # block index), so chunking exactly doubles the 256-ch backward's
+    # gather+DMA (HW: 256-ch fwd+bwd 17.75 -> 13.69 ms unchunked). The
+    # ESTIMATE below undercounts real scoped usage: the pipeliner
+    # double-buffers every BlockSpec operand incl. the resident wmat (the
+    # 384-ch decoder-concat adjoint estimated 24.8 MB, measured 35.46 MB
+    # scoped, and OOM'd the 32 MB limit inside the full discover step).
+    # The 20 MB budget admits the 256-ch convs (est 18.1, compiles
+    # in-step) and keeps the 384-ch adjoints chunked.
+    est_full = (
+        (2 if dbuf else 1) * (copad // 2) * W * 4  # window buffer(s)
+        + k8 * (copad // 2) * B * 4                # gst
+        + k8 * copad * cpad * 2                    # wmat (resident)
+        + cpad * k8 * copad * 4                    # dw_acc
+        + 2 * cpad * B * 4 + (cpad // 2) * B * 4 * 2  # dx out + xT blocks
+    )
+    # (non-tout dx blocks put ci on the LANE dim, which must stay a
+    # 128-multiple; the tout/cols default puts it on sublanes, any 8-mult)
+    if (cpad > ci_chunk and est_full <= 20 * 1024 * 1024
+            and (tout or cpad % 128 == 0)):
+        ci_chunk = cpad
+    n_chunks = cpad // ci_chunk
     kern = functools.partial(_bwd_kernel, B=B, W=W, WK=WK, K=k, Copad=copad,
                              CiChunk=ci_chunk, TOUT=tout)
     if dbuf:

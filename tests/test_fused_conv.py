@@ -101,6 +101,46 @@ def test_fused_grads_match_gather():
     )
 
 
+@pytest.mark.smoke
+def test_fused_bwd_ci192():
+    """cpad=192 backward (the decoder's 128+64-concat convs): every dx
+    channel written. Regression: `ci_chunk = min(cpad, 128)` floor-divided
+    192 to ONE 128-row chunk, leaving dx[:, 128:] and the dw tail
+    unwritten (NaN in interpret mode, stale garbage on HW)."""
+    rng = np.random.default_rng(5)
+    cap, ci, co = 2048, 192, 32
+    nbr, feats, valid = _nbr_and_feats(rng, cap, ci)
+    k = nbr.shape[1]
+    w = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.standard_normal((cap, co)).astype(np.float32))
+    f32 = feats.astype(jnp.float32)
+
+    def loss_ref(f, ww):
+        return jnp.sum(gather_conv(f, nbr, ww, symmetric_adjoint=True)
+                       .astype(jnp.float32) * cot)
+
+    def loss_fused(f, ww):
+        return jnp.sum(fc.fused_subm_conv_T(f.T, nbr, ww, interpret=True).T
+                       .astype(jnp.float32) * cot)
+
+    gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(f32, w)
+    gf, gw = jax.grad(loss_fused, argnums=(0, 1))(f32, w)
+    assert np.isfinite(np.asarray(gf, np.float32)).all()
+    # the bug zeroed/poisoned exactly the tail channels — check them apart
+    np.testing.assert_allclose(
+        np.asarray(gf[:, 128:], np.float32),
+        np.asarray(gf_ref[:, 128:], np.float32), rtol=0.1, atol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(gf, np.float32), np.asarray(gf_ref, np.float32),
+        rtol=0.1, atol=0.1)
+    # dw: bf16 products accumulated over ~2048 rows — compare relative to
+    # the gradient's scale (pointwise rtol trips on near-zero entries)
+    gw_ref = np.asarray(gw_ref, np.float32)
+    dw_rel = (np.abs(np.asarray(gw, np.float32) - gw_ref).max()
+              / max(np.abs(gw_ref).max(), 1e-9))
+    assert dw_rel < 0.02, dw_rel
+
+
 def test_ragged_variant_dispatch_exact():
     """Adversarial rulebook that drives every ragged-gather variant: per
     128-lane chunk, rows spread over the full subwin (ntile = WK//128),
