@@ -259,31 +259,44 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
     # chunks and the k8 padding rows) beats 2*K*nch predicated small stores
     gst[:] = jnp.zeros((K8 * C2, B), jnp.int32)
     for k in range(K):
-        rel2 = rel_ref[k:k + 1, :]  # [1, B]
-        relb = pltpu.repeat(rel2, C2, axis=0)  # [C2, B]
-        div = relb >> 7
-        mod = relb & 127
-        for cch in range(nch):
-            ssv = ss_ref[i, k * nch + cch]
-            nt = ssv & 127
-            base = pl.multiple_of(ssv - nt, 128)
-            dv = div[:, cch * 128:(cch + 1) * 128]
-            idx = mod[:, cch * 128:(cch + 1) * 128]
+        # per-offset skip: chunk emptiness is spatially correlated, so most
+        # offsets are empty in BOTH chunks of a block; one scalar branch
+        # retires them. The rel->div/mod VPU index math lives INSIDE the
+        # branch so empty offsets pay zero vector work (hoisting it out for
+        # all K measured as the dominant per-block cost once the gathers
+        # themselves were ragged-skipped).
+        ssv = [ss_ref[i, k * nch + c] for c in range(nch)]
+        nts = [v & 127 for v in ssv]
+        any_k = nts[0] > 0
+        for c in range(1, nch):
+            any_k = any_k | (nts[c] > 0)
 
-            for vi, v in enumerate(variants):
-                lo = variants[vi - 1] if vi else 0
-                pred = ((nt > lo) & (nt <= v)) if v < WKT else (nt > lo)
+        @pl.when(any_k)
+        def _(k=k, ssv=ssv, nts=nts):
+            rel2 = rel_ref[k:k + 1, :]  # [1, B]
+            relb = pltpu.repeat(rel2, C2, axis=0)  # [C2, B]
+            div = relb >> 7
+            mod = relb & 127
+            for cch in range(nch):
+                nt = nts[cch]
+                base = pl.multiple_of(ssv[cch] - nt, 128)
+                dv = div[:, cch * 128:(cch + 1) * 128]
+                idx = mod[:, cch * 128:(cch + 1) * 128]
 
-                @pl.when(pred)
-                def _(v=v, dv=dv, idx=idx, base=base, k=k, cch=cch):
-                    acc = jnp.zeros((C2, 128), jnp.int32)
-                    for t in range(v):
-                        tile = win[:, pl.ds(
-                            pl.multiple_of(base + t * 128, 128), 128)]
-                        part = jnp.take_along_axis(tile, idx, axis=1)
-                        acc = jnp.where(dv == t, part, acc)
-                    gst[k * C2:(k + 1) * C2,
-                        cch * 128:(cch + 1) * 128] = acc
+                for vi, v in enumerate(variants):
+                    lo = variants[vi - 1] if vi else 0
+                    pred = ((nt > lo) & (nt <= v)) if v < WKT else (nt > lo)
+
+                    @pl.when(pred)
+                    def _(v=v, dv=dv, idx=idx, base=base, k=k, cch=cch):
+                        acc = jnp.zeros((C2, 128), jnp.int32)
+                        for t in range(v):
+                            tile = win[:, pl.ds(
+                                pl.multiple_of(base + t * 128, 128), 128)]
+                            part = jnp.take_along_axis(tile, idx, axis=1)
+                            acc = jnp.where(dv == t, part, acc)
+                        gst[k * C2:(k + 1) * C2,
+                            cch * 128:(cch + 1) * 128] = acc
 
 
 def _window_dma(src_hbm, buf, ws_ref, j, sem_slot, W, op):
