@@ -8,13 +8,23 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# Guard: every tests/test_*.py on disk must appear in a chunk below, and
+# every listed file must exist (catches stale entries after deletions).
+listed=$(grep -oh 'tests/test_[a-z0-9_]*\.py' "$0" | sort -u)
+actual=$(ls tests/test_*.py | sort -u)
+if [ "$listed" != "$actual" ]; then
+    echo "run_all.sh chunk list is out of sync with tests/ on disk:" >&2
+    diff <(echo "$listed") <(echo "$actual") >&2 || true
+    exit 1
+fi
+
 run() { echo "== pytest $*"; python -m pytest -q "$@"; }
 
 run tests/test_algo.py tests/test_clustering_eval.py tests/test_coords.py \
     tests/test_data_pipeline.py tests/test_losses.py tests/test_losses_zoo.py \
     tests/test_schedule.py tests/test_visualize.py tests/test_native_voxelizer.py
 run tests/test_sparse_conv.py tests/test_gather_conv_vjp.py \
-    tests/test_fused_conv.py tests/test_compact_conv.py tests/test_wrappers.py
+    tests/test_fused_conv.py tests/test_wrappers.py
 run tests/test_pretrain_e2e.py tests/test_finetune.py tests/test_cylinder3d.py \
     tests/test_nuscenes.py tests/test_import_torch.py
 run tests/test_discover_e2e.py tests/test_nops.py tests/test_modules_and_config.py
