@@ -46,7 +46,10 @@ def save_pretrained(directory: str, params) -> None:
     """Save bare params (the Stage-1 -> Stage-2 handoff artifact; analog of
     `PretrainCheckpointCallback`'s raw state_dict)."""
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(os.path.abspath(directory), "pretrained"), params)
+    # force: a resumed (or repeated) run re-saves the handoff artifact at the
+    # end; orbax otherwise refuses to overwrite the existing directory
+    ckptr.save(os.path.join(os.path.abspath(directory), "pretrained"), params,
+               force=True)
     ckptr.wait_until_finished()
 
 

@@ -53,42 +53,73 @@ def resolve_discover_overrides(module_name: str, dataset: str) -> dict:
         raise NameError(f"{module_name} is not a Merge/Discover module")
     return make_discover_config(dataset, **overrides)
 
+def resume_from_checkpoint(mgr, state, resume_arg):
+    """`--resume_checkpoint` restore for the epoch-loop recipes.
+
+    Returns (state, start_epoch). The reference resumes ANY branch by passing
+    the checkpoint path to the PL Trainer (`/root/reference/main.py:173-183`);
+    here the arg value may name another experiment's checkpoint dir, and any
+    other truthy value resumes from this experiment's own latest save (epoch-
+    keyed by the training loops below).
+    """
+    from gcdlss_tpu.train.checkpoint import CheckpointManager
+
+    if not resume_arg:
+        return state, 0
+    src = mgr
+    if isinstance(resume_arg, str) and os.path.isdir(resume_arg):
+        src = CheckpointManager(resume_arg)
+    restored = src.restore(state)
+    if restored is None:
+        print("WARNING: --resume_checkpoint found no restorable step; "
+              "starting fresh")
+        return state, 0
+    start = int(src.latest_step()) + 1
+    print(f"resumed from saved epoch {start - 1}")
+    return restored, start
+
+
+# NB: value flags default to None so a `--dataset_config` YAML can supply
+# them (main() drops None overrides before load_config merges YAML with
+# flags); the effective defaults live in one place, ExperimentConfig, and
+# match the reference CLI defaults (`/root/reference/main.py:18-59`).
 parser = ArgumentParser()
-parser.add_argument("-s", "--split", default=1, type=int, required=False)
-parser.add_argument("--dataset", choices=["SemanticKITTI", "nuScenes"],
-                    default="SemanticKITTI", type=str)
+parser.add_argument("-s", "--split", default=None, type=int, required=False)
+parser.add_argument("--dataset",
+                    choices=["SemanticKITTI", "nuScenes", "SemanticPOSS"],
+                    default=None, type=str)
 parser.add_argument("--dataset_config", default=None, type=str)
 parser.add_argument("--dataset_path", default=None, type=str)
-parser.add_argument("--voxel_size", default=0.05, type=float)
-parser.add_argument("--downsampling", default=80000, type=int)
-parser.add_argument("--batch_size", default=4, type=int)
-parser.add_argument("--num_workers", default=8, type=int)
+parser.add_argument("--voxel_size", default=None, type=float)
+parser.add_argument("--downsampling", default=None, type=int)
+parser.add_argument("--batch_size", default=None, type=int)
+parser.add_argument("--num_workers", default=None, type=int)
 parser.add_argument("--loader_backend", default=None, type=str,
                     choices=(None, "thread", "process"),
                     help="host loader worker backend (default: thread)")
-parser.add_argument("--log_dir", default="logs", type=str)
-parser.add_argument("--checkpoint_dir", default="checkpoints", type=str)
+parser.add_argument("--log_dir", default=None, type=str)
+parser.add_argument("--checkpoint_dir", default=None, type=str)
 parser.add_argument("--pretrained", type=str, default=None,
                     help="Stage-1 checkpoint dir for Stage-2 warm start")
 parser.add_argument("--resume_checkpoint", type=str, default=None)
 parser.add_argument("--checkpoint", type=str, default=None)
-parser.add_argument("--train_lr", default=1e-2, type=float)
-parser.add_argument("--finetune_lr", default=1e-4, type=float)
-parser.add_argument("--use_scheduler", default=False, action="store_true")
-parser.add_argument("--warmup_epochs", default=4, type=int)
-parser.add_argument("--min_lr", default=1e-5, type=float)
-parser.add_argument("--momentum_for_optim", default=0.9, type=float)
-parser.add_argument("--weight_decay_for_optim", default=1e-4, type=float)
-parser.add_argument("--experiment", default="exp", type=str)
-parser.add_argument("--epochs", type=int, default=50)
+parser.add_argument("--train_lr", default=None, type=float)
+parser.add_argument("--finetune_lr", default=None, type=float)
+parser.add_argument("--use_scheduler", default=None, action="store_true")
+parser.add_argument("--warmup_epochs", default=None, type=int)
+parser.add_argument("--min_lr", default=None, type=float)
+parser.add_argument("--momentum_for_optim", default=None, type=float)
+parser.add_argument("--weight_decay_for_optim", default=None, type=float)
+parser.add_argument("--experiment", default=None, type=str)
+parser.add_argument("--epochs", type=int, default=None)
 parser.add_argument("--set_deterministic", default=True, action="store_true")
-parser.add_argument("--visualize", default=False, action="store_true")
-parser.add_argument("--test", default=False, action="store_true")
-parser.add_argument("--debug", default=False, action="store_true")
-parser.add_argument("--module", type=str, default="ExpPretrain")
-parser.add_argument("--arch", type=str, default="MinkUNet34")
-parser.add_argument("--split_dir", type=str, default="split_npy")
-parser.add_argument("--voxel_cap", type=int, default=0)
+parser.add_argument("--visualize", default=None, action="store_true")
+parser.add_argument("--test", default=None, action="store_true")
+parser.add_argument("--debug", default=None, action="store_true")
+parser.add_argument("--module", type=str, default=None)
+parser.add_argument("--arch", type=str, default=None)
+parser.add_argument("--split_dir", type=str, default=None)
+parser.add_argument("--voxel_cap", type=int, default=None)
 
 
 def main(args):
@@ -210,7 +241,9 @@ def main(args):
                                     num_workers=cfg.num_workers, drop_last=False)
             print(module.validate(loader))
             return
-        for epoch in range(cfg.epochs):
+        module.state, start_epoch = resume_from_checkpoint(
+            mgr, module.state, cfg.resume_checkpoint)
+        for epoch in range(start_epoch, cfg.epochs):
             loader = PrefetchLoader(train_ds, cfg.batch_size, caps[0],
                                     num_workers=cfg.num_workers, seed=epoch)
             loss = module.train_epoch(loader)
@@ -369,8 +402,10 @@ def main(args):
             if unlab_ds is not None:
                 unlab_ds.num_files = min(unlab_ds.num_files, 50)
         mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        state, start_epoch = resume_from_checkpoint(
+            mgr, state, cfg.resume_checkpoint)
         nsc = max(cfg.batch_size // 2, 1)
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             losses = []
             if recipe == "finetune_extra":
                 lab_loader = PrefetchLoader(train_ds, nsc, half,
@@ -457,9 +492,11 @@ def main(args):
             lab_ds.num_files = min(lab_ds.num_files, 50)
             unlab_ds.num_files = min(unlab_ds.num_files, 50)
         mgr = CheckpointManager(os.path.join(cfg.checkpoint_dir, cfg.experiment))
+        state, start_epoch = resume_from_checkpoint(
+            mgr, state, cfg.resume_checkpoint)
         unsup_cap = caps[0] - half
         nsc = ncfg.num_sup_scans
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             lab_loader = PrefetchLoader(lab_ds, nsc, half,
                                         num_workers=cfg.num_workers, seed=epoch)
             unlab_loader = PrefetchLoader(unlab_ds, nsc, unsup_cap,

@@ -98,6 +98,64 @@ def test_merge_registry_cli_resolution():
         cli.resolve_discover_overrides("ExpPretrain", "SemanticKITTI")
 
 
+def test_shipped_dataset_yamls():
+    """Every shipped dataset YAML loads into a resolvable label space
+    (reference ships 4 dataset configs: `config/semkitti_minkunet.yaml`,
+    `nuscenes_minkunet.yaml`, `semkitti_cylinder3d.yaml:1`,
+    `semposs_dataset.yaml:1`)."""
+    import glob
+    import os
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "gcdlss_tpu",
+                           "configs")
+    yamls = sorted(glob.glob(os.path.join(cfg_dir, "*.yaml")))
+    assert len(yamls) >= 4
+    for y in yamls:
+        cfg = load_config(y)
+        assert cfg.label_space()["num_labeled_classes"] > 0
+    cyl = load_config(os.path.join(cfg_dir, "semkitti_cylinder3d.yaml"))
+    assert cyl.arch == "Cylinder3D" and cyl.dataset == "SemanticKITTI"
+    poss = load_config(os.path.join(cfg_dir, "semposs_dataset.yaml"))
+    assert poss.dataset == "SemanticPOSS" and poss.split == 0
+    sp = poss.label_space()
+    # 13 POSS train classes, fully supervised (no discovery splits exist
+    # for POSS in the reference)
+    assert sp["num_labeled_classes"] == 13
+    assert sp["num_unlabeled_classes"] == 0
+
+
+def test_pretrain_resume_continues_from_saved_epoch(tmp_path, capsys):
+    """A killed-and-resumed pretrain continues from the saved epoch instead
+    of restarting at 0 (reference resumes any branch via the PL Trainer,
+    `/root/reference/main.py:173-183`)."""
+    import main as cli
+
+    root = tmp_path / "kitti"
+    write_synthetic_kitti(str(root), sequences=("00",), scans_per_seq=4,
+                          num_points=700, seed=7)
+    base = [
+        "--dataset", "SemanticKITTI", "--module", "ExpPretrain",
+        "--dataset_path", str(root), "--arch", "MinkUNet14",
+        "--voxel_size", "0.2", "--downsampling", "600",
+        "--batch_size", "2", "--num_workers", "1", "--voxel_cap", "2048",
+        "--experiment", "resume-test",
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--split_dir", str(tmp_path / "split_npy"),
+    ]
+    # first run: 1 epoch, saves epoch 0 then is "killed" (run ends)
+    cli.main(cli.parser.parse_args(base + ["--epochs", "1"]))
+    first = capsys.readouterr().out
+    assert "epoch 0:" in first
+    # resumed run asks for 2 total epochs -> only epoch 1 should execute
+    cli.main(cli.parser.parse_args(
+        base + ["--epochs", "2", "--resume_checkpoint", "latest"]))
+    second = capsys.readouterr().out
+    assert "resumed from saved epoch 0" in second
+    assert "epoch 0:" not in second
+    assert "epoch 1:" in second
+
+
 @pytest.mark.smoke
 def test_new_ablation_registry_names():
     """Round-3 inventory tail: the remaining reference ablation classes
