@@ -7,7 +7,9 @@ Rebuilds `utils/sinkhorn_knopp.py`:
   * `sinkhorn_knopp_weighted` — learnable class-marginal variant
     (`SinkhornKnopp_im`, `:6-52`), marginal passed in as log-weights;
   * `semi_sinkhorn_knopp` — semi-relaxed OT with a KL-constrained marginal
-    (`SemiSinkhornKnopp`, `:82-126`).
+    (`SemiSinkhornKnopp`, `:82-126`);
+  * `balanced_sinkhorn` — learns the prototype marginal by an inner SGD loop
+    (`Balanced_sinkhorn`, `:55-79`).
 
 All functions are masked & fixed-shape: `valid` marks real feature rows.
 """
@@ -86,6 +88,71 @@ def sinkhorn_knopp_weighted(features, head, log_w, valid=None,
         logq = logq - jnp.log(b)
     q = jnp.exp(logq) * b
     return jnp.where(valid[:, None], q, 0.0)
+
+
+@partial(jax.jit, static_argnames=("num_iters", "num_outer_iters"))
+def balanced_sinkhorn(features, head, valid=None, num_iters: int = 3,
+                      epsilon: float = 0.05, lr_w: float = 0.1,
+                      momentum: float = 0.99, num_outer_iters: int = 10,
+                      gamma: float = 5.0):
+    """Balanced Sinkhorn: learn the prototype marginal w by SGD.
+
+    Rebuilds `Balanced_sinkhorn` (`utils/sinkhorn_knopp.py:55-79`): an outer
+    loop runs SGD(momentum .99, grad-clip 1) on the logit of the prototype
+    marginal, minimizing  -E[<Q(w), logits>] + gamma * KL(uniform, softmax(w))
+    (the KLDivLoss(batchmean) there divides the KL by K), where Q(w) is the
+    weighted Sinkhorn assignment with marginal softmax(w). The gradient flows
+    through the full (differentiable, log-space) Sinkhorn iteration, exactly
+    as torch autograd differentiates the reference's prob-space loop.
+
+    Returns (q, marginal): the assignment computed with the pre-final-update
+    w — matching the reference, which returns the Q of the last inner call
+    made *before* the final opt.step() — and the final softmax(w).
+    """
+    n, k = features.shape[0], head.shape[1]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    z = _normalize(features)
+    c = head / jnp.maximum(jnp.linalg.norm(head, axis=0, keepdims=True), 1e-8)
+    preds = z @ c  # raw cosine logits (the reward term uses these, not /eps)
+    b = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    nmask = valid[:, None].astype(jnp.float32)
+
+    def assign(w):
+        logw = jax.nn.log_softmax(w)
+        logq = jnp.where(valid[:, None], preds / epsilon, -jnp.inf)
+        for _ in range(num_iters):
+            logq = logq - jax.scipy.special.logsumexp(logq, axis=0,
+                                                      keepdims=True)
+            logq = logq + logw[None, :]
+            logq = logq - jax.scipy.special.logsumexp(logq, axis=1,
+                                                      keepdims=True)
+            logq = logq - jnp.log(b)
+        return jnp.exp(logq) * b * nmask
+
+    def total_loss(w):
+        q = assign(w)
+        reward = -jnp.sum(q * preds * nmask) / b
+        # KLDivLoss(log_softmax(w), softmax(w0)) with reduction="batchmean"
+        # over the (K,1)-shaped inputs: KL(uniform || softmax(w)) / K
+        t = 1.0 / k
+        reg = jnp.sum(t * (jnp.log(t) - jax.nn.log_softmax(w))) / k
+        return reward + gamma * reg
+
+    def outer(_, carry):
+        w, vel, __ = carry
+        q = assign(w)
+        g = jax.grad(total_loss)(w)
+        gn = jnp.linalg.norm(g)
+        g = g * jnp.minimum(1.0, 1.0 / jnp.maximum(gn, 1e-6))
+        vel = momentum * vel + g  # torch SGD: buf = mu*buf + grad; p -= lr*buf
+        return w - lr_w * vel, vel, q
+
+    w0 = jnp.full((k,), 1.0 / k, jnp.float32)
+    w, _, q = jax.lax.fori_loop(
+        0, num_outer_iters, outer,
+        (w0, jnp.zeros((k,), jnp.float32), jnp.zeros((n, k), jnp.float32)))
+    return q, jax.nn.softmax(w)
 
 
 @partial(jax.jit, static_argnames=("num_iters",))

@@ -5,7 +5,11 @@ import jax.numpy as jnp
 from gcdlss_tpu.algo.kmeans import cosine_kmeans
 from gcdlss_tpu.algo.hungarian_jax import hungarian_small
 from gcdlss_tpu.algo.queue import queue_init, queue_push, queue_flatten
-from gcdlss_tpu.algo.sinkhorn import sinkhorn_knopp, semi_sinkhorn_knopp
+from gcdlss_tpu.algo.sinkhorn import (
+    sinkhorn_knopp,
+    semi_sinkhorn_knopp,
+    balanced_sinkhorn,
+)
 from gcdlss_tpu.algo.clustering import OnlineSemiKMeans, pairwise_distance
 
 
@@ -77,6 +81,64 @@ def test_semi_sinkhorn_runs():
     plan, loss, kl = semi_sinkhorn_knopp(logits, num_iters=50)
     assert np.isfinite(float(loss)) and np.isfinite(float(kl))
     np.testing.assert_allclose(np.asarray(plan).sum(), 24.0, rtol=0.2)
+
+
+def test_balanced_sinkhorn_vs_torch_oracle():
+    """`Balanced_sinkhorn` (`utils/sinkhorn_knopp.py:55-79`): the inner
+    SGD-on-marginal loop (momentum .99, grad-clip 1, KL-to-uniform reg)
+    must match an independent torch-autograd implementation of the same
+    formula, and the learned marginal must tilt toward the data's true
+    cluster imbalance."""
+    import math
+
+    import torch
+
+    rng = np.random.default_rng(11)
+    # imbalanced clusters: 24 points near prototype 0, 8 near prototype 2
+    head = rng.normal(size=(16, 3)).astype(np.float32)
+    hn = head / np.linalg.norm(head, axis=0, keepdims=True)
+    feats = np.vstack([
+        hn[:, 0] + rng.normal(0, 0.05, (24, 16)),
+        hn[:, 2] + rng.normal(0, 0.05, (8, 16)),
+    ]).astype(np.float32)
+
+    q, marg = balanced_sinkhorn(jnp.asarray(feats), jnp.asarray(head))
+    q, marg = np.asarray(q), np.asarray(marg)
+    np.testing.assert_allclose(q.sum(axis=1), 1.0, atol=1e-3)
+    # marginal learned away from uniform, toward the 3:1 imbalance
+    assert marg[0] > 1 / 3 > marg[1]
+
+    # torch oracle: same math, autograd through the sinkhorn iteration
+    tf = torch.tensor(feats)
+    th = torch.tensor(head)
+    z = torch.nn.functional.normalize(tf, dim=1)
+    c = th / th.norm(dim=0, keepdim=True).clamp_min(1e-8)
+    preds = z @ c
+    B, K = feats.shape[0], 3
+    w = torch.full((K,), 1.0 / K, requires_grad=True)
+    vel = torch.zeros(K)
+    q_ref = None
+    for _ in range(10):
+        logq = preds / 0.05
+        for _ in range(3):
+            logq = logq - torch.logsumexp(logq, 0, keepdim=True)
+            logq = logq + torch.log_softmax(w, 0)[None, :]
+            logq = logq - torch.logsumexp(logq, 1, keepdim=True)
+            logq = logq - math.log(B)
+        qt = torch.exp(logq) * B
+        q_ref = qt.detach()
+        loss = -(qt * preds).sum() / B
+        t = 1.0 / K
+        reg = (t * (math.log(t) - torch.log_softmax(w, 0))).sum() / K
+        (g,) = torch.autograd.grad(loss + 5.0 * reg, w)
+        gn = g.norm()
+        if gn > 1:
+            g = g / gn
+        vel = 0.99 * vel + g
+        w = (w - 0.1 * vel).detach().requires_grad_(True)
+    np.testing.assert_allclose(q, q_ref.numpy(), atol=2e-3)
+    np.testing.assert_allclose(
+        marg, torch.softmax(w.detach(), 0).numpy(), atol=2e-3)
 
 
 def test_online_semi_kmeans_fit_mix():
