@@ -10,13 +10,26 @@ from __future__ import annotations
 MAX_SPLIT_NUM = 4
 
 # Split tables from the reference CLI (`main.py:87-113`): split id ->
-# (unknown train-label ids, labeled-scan ratio).
-KITTI_SPLITS = {1: ([4, 6], 0.50), 2: ([2, 4, 5], 0.45), 3: ([3, 6, 9], 0.40)}
-NUSC_SPLITS = {1: ([1, 8], 0.45), 2: ([1, 2, 5], 0.35), 3: ([0, 4, 7, 8], 0.25)}
+# (unknown train-label ids, labeled-scan ratio). Split 0 is our extension:
+# fully supervised, no held-out classes (the reference has no discovery
+# splits for SemanticPOSS — it appears only in its oldest dataset
+# generation, `utils/dataset.py:1875` — so POSS runs are supervised-only).
+FULL_SUP = ([], 1.0)
+KITTI_SPLITS = {0: FULL_SUP, 1: ([4, 6], 0.50), 2: ([2, 4, 5], 0.45),
+                3: ([3, 6, 9], 0.40)}
+NUSC_SPLITS = {0: FULL_SUP, 1: ([1, 8], 0.45), 2: ([1, 2, 5], 0.35),
+               3: ([0, 4, 7, 8], 0.25)}
+POSS_SPLITS = {0: FULL_SUP}
+_SPLIT_TABLES = {
+    "SemanticKITTI": KITTI_SPLITS,
+    "nuScenes": NUSC_SPLITS,
+    "SemanticPOSS": POSS_SPLITS,
+}
 
 
 def split_table(dataset: str, split: int):
-    table = KITTI_SPLITS if dataset == "SemanticKITTI" else NUSC_SPLITS
+    # unknown dataset names historically fell through to the nuScenes table
+    table = _SPLIT_TABLES.get(dataset, NUSC_SPLITS)
     if split not in table:
         raise ValueError(f"unknown split {split} for {dataset}")
     return table[split]
