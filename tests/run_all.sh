@@ -22,7 +22,8 @@ run() { echo "== pytest $*"; python -m pytest -q "$@"; }
 
 run tests/test_algo.py tests/test_clustering_eval.py tests/test_coords.py \
     tests/test_data_pipeline.py tests/test_losses.py tests/test_losses_zoo.py \
-    tests/test_schedule.py tests/test_visualize.py tests/test_native_voxelizer.py
+    tests/test_losses_oracle.py tests/test_schedule.py tests/test_visualize.py \
+    tests/test_native_voxelizer.py
 run tests/test_sparse_conv.py tests/test_gather_conv_vjp.py \
     tests/test_fused_conv.py tests/test_wrappers.py
 run tests/test_pretrain_e2e.py tests/test_finetune.py tests/test_cylinder3d.py \
