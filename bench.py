@@ -32,6 +32,17 @@ _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 H100_REFERENCE_SCANS_PER_SEC = 10.0
 
+# Stage-2 work normalization (BENCH.md "Work normalization"): per counted
+# scan, the Stage-2 step runs ~2.4x the Stage-1 backbone work (teacher fwd +
+# student fwd/bwd on the combined cloud + a second student fwd/bwd on the
+# equally-sized mixed cloud, plus two plan builds, in-step re-voxelization,
+# mining, k-means, Hungarian). A PyTorch reference at the 10/s Stage-1
+# estimate would therefore land at ~10/2.4 = 4.17 scans/s on Stage-2;
+# `vs_baseline_worknorm` uses that denominator so the artifact carries the
+# normalization BENCH.md argues in prose.
+STAGE2_WORK_FACTOR = 2.4
+H100_STAGE2_SCANS_PER_SEC = H100_REFERENCE_SCANS_PER_SEC / STAGE2_WORK_FACTOR
+
 POINTS_PER_SCAN = 80_000
 BATCH = int(_os.environ.get("GCDLSS_BENCH_BATCH", "1"))
 VOXEL_SIZE = 0.05
@@ -70,8 +81,12 @@ def main():
     from gcdlss_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
-    # Stage-2 (the north-star metric) is the headline; stage1 opt-in.
-    if _os.environ.get("GCDLSS_BENCH", "stage2") != "stage1":
+    # Stage-2 (the north-star metric) is the headline; stage1 and the
+    # Cylinder3D-backbone Stage-2 (BASELINE config #4) opt-in.
+    mode = _os.environ.get("GCDLSS_BENCH", "stage2")
+    if mode == "cylinder":
+        return stage2_main(arch="Cylinder3D")
+    if mode != "stage1":
         return stage2_main()
 
     from gcdlss_tpu.ops.voxelize import sparse_quantize
@@ -172,9 +187,12 @@ def main():
     )
 
 
-def stage2_main():
+def stage2_main(arch: str = "MinkUNet34"):
     """North-star config: the full Stage-2 discovery step at KITTI scale
-    (2 labeled + 2 unlabeled scans). Run with GCDLSS_BENCH=stage2.
+    (2 labeled + 2 unlabeled scans). Run with GCDLSS_BENCH=stage2;
+    GCDLSS_BENCH=cylinder runs the same step on the Cylinder3D backbone
+    (BASELINE config #4; the reference's own Cylinder3D discovery wrapper
+    is dead code, `/root/reference/models/cylinder3d.py:84-85`).
 
     Scope note (BASELINE.json "voxelize + MinkUNet fwd/bwd"): the bench
     includes every DEVICE-side stage of the training step — both plan
@@ -203,9 +221,12 @@ def stage2_main():
         unknown_label=17, voxel_caps=default_caps(cap0), sup_voxel_cap=half,
         mix_voxel_caps=default_caps(cap0), num_sup_scans=nscans // 2,
         point_cap=P,
-        voxel_size=VOXEL_SIZE, arch="MinkUNet34", dtype="bfloat16",
+        voxel_size=VOXEL_SIZE, arch=arch, dtype="bfloat16",
         cand_cap=4096, queue_slots=20, queue_per_slot=1024, kmeans_iters=15,
         steps_per_epoch=1000,
+        # queue width must match the Cylinder3D feature dim (4x base
+        # channels; see discover.make_discover_config)
+        **({"feat_dim": 128} if arch == "Cylinder3D" else {}),
     )
     rng = np.random.default_rng(0)
 
@@ -260,15 +281,23 @@ def stage2_main():
         state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
+    prefix = "cylinder_" if arch == "Cylinder3D" else ""
     print(
         json.dumps(
             {
-                "metric": "stage2_scans_per_sec_per_chip",
+                "metric": f"{prefix}stage2_scans_per_sec_per_chip",
                 "value": round(nscans / dt, 3),
-                "unit": (f"scans/sec/chip (Stage-2 discovery step, "
+                "unit": (f"scans/sec/chip (Stage-2 discovery step on {arch}, "
                          f"{nscans // 2} sup + {nscans // 2} unsup x 80k pts)"),
                 "vs_baseline": round(
                     nscans / dt / H100_REFERENCE_SCANS_PER_SEC, 3),
+                # same measurement against the Stage-2-equivalent H100 rate
+                # (10/s Stage-1 estimate / 2.4x work factor — see module
+                # docstring constants)
+                "vs_baseline_worknorm": round(
+                    nscans / dt / H100_STAGE2_SCANS_PER_SEC, 3),
+                "worknorm_denominator_scans_per_sec": round(
+                    H100_STAGE2_SCANS_PER_SEC, 3),
             }
         )
     )
