@@ -82,7 +82,10 @@ def supcon_loss(features, labels=None, mask=None, valid=None,
             mask = jnp.eye(n)
         else:
             mask = (labels[:, None] == labels[None, :]).astype(jnp.float32)
-    feats = features.reshape(n * v, c)
+    # view-major stacking ([view0 rows; view1 rows; ...]) to match
+    # torch.cat(torch.unbind(features, dim=1)) — required for the
+    # tile(mask, (v, v)) block structure to line up when v > 1
+    feats = features.transpose(1, 0, 2).reshape(n * v, c)
     sim = feats @ feats.T / temperature
     # numeric stability
     sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=1, keepdims=True))
@@ -95,6 +98,106 @@ def supcon_loss(features, labels=None, mask=None, valid=None,
     pos_cnt = jnp.maximum(jnp.sum(big_mask, axis=1), 1.0)
     mean_log_prob_pos = jnp.sum(big_mask * log_prob, axis=1) / pos_cnt
     loss = -(temperature / base_temperature) * mean_log_prob_pos
+    m = vvalid.astype(jnp.float32)
+    return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def supcon_loss_with_auxiliary(features, labels, aux_features,
+                               valid=None, aux_valid=None,
+                               temperature=0.07, base_temperature=0.07):
+    """SupCon with auxiliary pure-negative features.
+
+    Rebuilds `SupConLossWithAuxiliary` (`utils/loss.py:261-352`): the aux
+    rows join the contrast set (denominator) but are never anchors and never
+    positives — their mask columns are zero, so they only push anchors away.
+    `features` [N, V, C] L2-normalized per view; `aux_features` [M, C].
+    """
+    n, v, c = features.shape
+    m = aux_features.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    if aux_valid is None:
+        aux_valid = jnp.ones((m,), bool)
+    mask = (labels[:, None] == labels[None, :]).astype(jnp.float32)
+    # view-major stacking (see supcon_loss / metric_supcon_loss)
+    anchors = features.transpose(1, 0, 2).reshape(n * v, c)
+    contrast = jnp.concatenate([anchors, aux_features], axis=0)
+    sim = anchors @ contrast.T / temperature
+    sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=1, keepdims=True))
+    big_mask = jnp.tile(mask, (v, v))
+    big_mask = jnp.concatenate(
+        [big_mask, jnp.zeros((n * v, m))], axis=1)  # aux: never positive
+    vvalid = jnp.concatenate([jnp.tile(valid, (v,)), aux_valid])
+    logits_mask = jnp.concatenate(
+        [1.0 - jnp.eye(n * v), jnp.ones((n * v, m))], axis=1
+    ) * vvalid[None, :]
+    big_mask = big_mask * logits_mask
+    exp = jnp.exp(sim) * logits_mask
+    log_prob = sim - jnp.log(
+        jnp.maximum(jnp.sum(exp, axis=1, keepdims=True), 1e-12))
+    pos_cnt = jnp.maximum(jnp.sum(big_mask, axis=1), 1.0)
+    mean_log_prob_pos = jnp.sum(big_mask * log_prob, axis=1) / pos_cnt
+    loss = -(temperature / base_temperature) * mean_log_prob_pos
+    am = jnp.tile(valid, (v,)).astype(jnp.float32)
+    return jnp.sum(loss * am) / jnp.maximum(jnp.sum(am), 1.0)
+
+
+def metric_supcon_loss(features, labels=None, mask=None, ignore=None,
+                       valid=None, metric: str = "dot",
+                       temperature=0.07, base_temperature=0.07,
+                       reduction: bool = True):
+    """SupCon under alternative similarity metrics.
+
+    Rebuilds `MetricSupConLoss` (`utils/loss.py:354-476`): metric one of
+    dot | reverse_dot | sign_l2 | reverse_sign_l2 ('dot' degenerates to the
+    original SupCon; 'reverse_*' negate the similarity AFTER the stability
+    max-subtraction, exactly as the reference does; 'sign_l2' uses negative
+    mean squared distance between tanh-squashed features). `ignore` [N]
+    restricts each anchor's denominator to rows sharing its ignore id.
+    """
+    n, v, c = features.shape
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    if mask is None:
+        if labels is None:
+            mask = jnp.eye(n)
+        else:
+            mask = (labels[:, None] == labels[None, :]).astype(jnp.float32)
+    # view-major stacking ([view0 rows; view1 rows; ...]) to match
+    # torch.cat(torch.unbind(features, dim=1)) — required for the
+    # tile(mask, (v, v)) block structure to line up when v > 1
+    feats = features.transpose(1, 0, 2).reshape(n * v, c)
+    if metric in ("dot", "reverse_dot"):
+        raw = feats @ feats.T / temperature
+    elif metric in ("sign_l2", "reverse_sign_l2"):
+        t = jnp.tanh(feats)
+        d2 = jnp.mean(
+            jnp.square(t[:, None, :] - t[None, :, :]), axis=-1)
+        raw = -d2 / temperature
+    else:
+        raise NotImplementedError(metric)
+    # reference quirk preserved: the stability max is taken on the raw
+    # similarities, then the 'reverse' variants negate raw but still
+    # subtract that same (un-negated) max
+    mx = jax.lax.stop_gradient(jnp.max(raw, axis=1, keepdims=True))
+    sim = (-raw if metric.startswith("reverse") else raw) - mx
+    big_mask = jnp.tile(mask, (v, v))
+    vvalid = jnp.tile(valid, (v,))
+    logits_mask = (1.0 - jnp.eye(n * v)) * vvalid[None, :]
+    big_mask = big_mask * logits_mask
+    denom_mask = logits_mask
+    if ignore is not None:
+        ig = jnp.tile(ignore, (v,))
+        denom_mask = denom_mask * (
+            ig[:, None] == ig[None, :]).astype(jnp.float32)
+    exp = jnp.exp(sim) * denom_mask
+    log_prob = sim - jnp.log(
+        jnp.maximum(jnp.sum(exp, axis=1, keepdims=True), 1e-12))
+    pos_cnt = jnp.maximum(jnp.sum(big_mask, axis=1), 1.0)
+    mean_log_prob_pos = jnp.sum(big_mask * log_prob, axis=1) / pos_cnt
+    loss = -(temperature / base_temperature) * mean_log_prob_pos
+    if not reduction:
+        return loss.reshape(v, n)
     m = vvalid.astype(jnp.float32)
     return jnp.sum(loss * m) / jnp.maximum(jnp.sum(m), 1.0)
 

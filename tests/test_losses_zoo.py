@@ -10,6 +10,8 @@ from gcdlss_tpu.losses_zoo import (
     adv_loss,
     pairwise_bce,
     supcon_loss,
+    supcon_loss_with_auxiliary,
+    metric_supcon_loss,
     distill_loss,
 )
 from gcdlss_tpu.losses_lion import gambler_loss, energy_loss, crude_dynamic_energy_loss
@@ -46,6 +48,98 @@ def test_supcon_loss_prefers_tight_clusters():
     lt = float(supcon_loss(jnp.asarray(tight)[:, None, :], labels))
     ll = float(supcon_loss(jnp.asarray(loose)[:, None, :], labels))
     assert lt < ll
+
+
+def _torch_supcon(feats_nvc, labels, aux=None, metric="dot", ignore=None,
+                  temperature=0.07):
+    """Independent torch re-derivation of the reference SupCon family
+    (`utils/loss.py:169-476`) for oracle comparison; two views, cat along
+    dim 1 unbind order (view-major)."""
+    import torch
+
+    f = torch.tensor(feats_nvc)
+    n, v, c = f.shape
+    lab = torch.tensor(labels).view(-1, 1)
+    mask = (lab == lab.T).float()
+    contrast = torch.cat(torch.unbind(f, dim=1), dim=0)
+    anchors = contrast
+    if aux is not None:
+        contrast = torch.cat([contrast, torch.tensor(aux)], dim=0)
+    if metric in ("dot", "reverse_dot"):
+        raw = anchors @ contrast.T / temperature
+    else:
+        t = torch.tanh(anchors)
+        raw = -((t.unsqueeze(1) - torch.tanh(contrast).unsqueeze(0))
+                ** 2).mean(-1) / temperature
+    mx = raw.max(dim=1, keepdim=True).values
+    logits = (-raw if metric.startswith("reverse") else raw) - mx
+    big = mask.repeat(v, v)
+    if aux is not None:
+        big = torch.cat([big, torch.zeros(n * v, aux.shape[0])], dim=1)
+    lm = torch.ones_like(big)
+    lm[torch.arange(n * v), torch.arange(n * v)] = 0
+    big = big * lm
+    dm = lm
+    if ignore is not None:
+        ig = torch.tensor(ignore).repeat(v).view(-1, 1)
+        dm = dm * (ig == ig.T).float()
+    expv = torch.exp(logits) * dm
+    logp = logits - torch.log(expv.sum(1, keepdim=True))
+    mean_pos = (big * logp).sum(1) / big.sum(1).clamp(min=1)
+    return float(-mean_pos.view(v, n).mean())
+
+
+def test_supcon_auxiliary_vs_torch_oracle():
+    """`SupConLossWithAuxiliary` (`utils/loss.py:261-352`): aux rows are
+    pure negatives — in the denominator, never anchors/positives."""
+    rng = np.random.default_rng(5)
+    f = rng.normal(size=(10, 2, 6)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=2, keepdims=True)
+    labels = rng.integers(0, 3, 10).astype(np.int32)
+    aux = rng.normal(size=(4, 6)).astype(np.float32)
+    aux /= np.linalg.norm(aux, axis=1, keepdims=True)
+    want = _torch_supcon(f, labels, aux=aux)
+    got = float(supcon_loss_with_auxiliary(
+        jnp.asarray(f), jnp.asarray(labels), jnp.asarray(aux)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # adding aux negatives can only increase the loss (bigger denominator)
+    base = float(supcon_loss(jnp.asarray(f), jnp.asarray(labels)))
+    assert got > base
+
+
+def test_metric_supcon_vs_torch_oracle():
+    """`MetricSupConLoss` (`utils/loss.py:354-476`): all four metrics +
+    the ignore-restricted denominator, against the torch re-derivation;
+    'dot' must equal plain supcon_loss."""
+    rng = np.random.default_rng(6)
+    f = rng.normal(size=(8, 2, 5)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=2, keepdims=True)
+    labels = rng.integers(0, 3, 8).astype(np.int32)
+    for metric in ("dot", "reverse_dot", "sign_l2", "reverse_sign_l2"):
+        want = _torch_supcon(f, labels, metric=metric)
+        got = float(metric_supcon_loss(
+            jnp.asarray(f), jnp.asarray(labels), metric=metric))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=metric)
+    np.testing.assert_allclose(
+        float(metric_supcon_loss(jnp.asarray(f), jnp.asarray(labels))),
+        float(supcon_loss(jnp.asarray(f), jnp.asarray(labels))), atol=1e-6)
+    ignore = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.int32)
+    want = _torch_supcon(f, labels, ignore=ignore)
+    got = float(metric_supcon_loss(
+        jnp.asarray(f), jnp.asarray(labels), ignore=jnp.asarray(ignore)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_supcon_two_views_vs_torch_oracle():
+    """V=2 stacking order matches torch.cat(torch.unbind(dim=1))
+    (view-major); anchor-major stacking breaks the tiled mask blocks."""
+    rng = np.random.default_rng(7)
+    f = rng.normal(size=(6, 2, 4)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=2, keepdims=True)
+    labels = rng.integers(0, 2, 6).astype(np.int32)
+    want = _torch_supcon(f, labels)
+    got = float(supcon_loss(jnp.asarray(f), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_distill_loss_runs():
