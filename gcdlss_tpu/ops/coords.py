@@ -82,9 +82,13 @@ def sorted_unique(
     # A VMEM-resident bitonic sort kernel was tried here (round 3/4): bit-
     # exact on HW but SLOWER than XLA's native sort on v5e (12.84 ms vs
     # 8.49 ms at 276k rows, tools BENCH.md round-4 entry) — removed.
-    order = jnp.lexsort((lo, hi))  # primary: hi, secondary: lo, stable
-    sh = hi[order]
-    sl = lo[order]
+    # One 3-operand lax.sort replaces lexsort + two post-gathers: lexsort
+    # already sorts (lo, hi, iota) internally but returns only the order,
+    # forcing hi[order]/lo[order] re-gathers (~7 ns/element of XLA gather
+    # per array). Stable sort keeps first-occurrence semantics for `rep`.
+    sh, sl, order = jax.lax.sort(
+        (hi, lo, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=True
+    )
     first = jnp.concatenate(
         [
             jnp.ones((1,), dtype=bool),

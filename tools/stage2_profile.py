@@ -287,8 +287,15 @@ t("EMA tree update", tree_updates, state.params_s, state.params_t)
 
 
 # ---- reference: the full step -------------------------------------------------
+# discover_train_step donates its state arg, so it must be timed bench-style
+# (threading the returned state) — re-calling with the same donated buffers
+# raises a TPU backend error on this rig.
 state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
 _ = float(m["loss"])
-dt = device_time(lambda s: discover_train_step(
-    s, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)[1]["loss"], state, n=5)
+n = 5
+t0 = time.perf_counter()
+for _ in range(n):
+    state, m = discover_train_step(state, sup_vb, sup_pb, unsup_vb, unsup_pb, cfg)
+_ = float(m["loss"])
+dt = (time.perf_counter() - t0) / n
 print(f"FULL discover step: {dt*1e3:.1f} ms", flush=True)
