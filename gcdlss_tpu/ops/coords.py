@@ -115,6 +115,38 @@ def sorted_unique(
     return (uniq_hi, uniq_lo), rep, inverse, count
 
 
+def sorted_unique_nodup(
+    hi: jax.Array,
+    lo: jax.Array,
+    capacity: int,
+):
+    """`sorted_unique` for keys PROMISED duplicate-free (capacity == n).
+
+    The voxel-level LaserMix re-batch is the use case: band parity is a
+    function of coordinates, so the two copies of a coordinate duplicated
+    across a sup/unsup scan pair land in opposite mixed scans and the
+    re-batched key set is guaranteed unique (see BENCH.md round-5,
+    `train/discover._mixed_plan_voxel`). Skips the dedup bookkeeping: the
+    unique keys are the sorted keys themselves, `rep` is the sort order.
+    If the promise is broken, duplicate keys simply occupy two rows
+    (neighbor lookups resolve to one of them) — no memory unsafety.
+    """
+    n = hi.shape[0]
+    assert capacity == n, "nodup fast path requires capacity == n"
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sh, sl, order = jax.lax.sort((hi, lo, pos), num_keys=2, is_stable=True)
+    valid_sorted = sh != SENTINEL_HI
+    count = jnp.sum(valid_sorted.astype(jnp.int32))
+    rep = jnp.where(valid_sorted, order, n).astype(jnp.int32)
+    inverse = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.where(valid_sorted, pos, jnp.int32(capacity)),
+             unique_indices=True)
+    )
+    return (sh, sl), rep, inverse, count
+
+
 def sorted_unique_presorted(
     hi: jax.Array,
     lo: jax.Array,

@@ -34,6 +34,7 @@ from .coords import (
     SENTINEL_LO,
     encode_coords,
     sorted_unique,
+    sorted_unique_nodup,
     sorted_unique_presorted,
     decode_keys,
 )
@@ -304,6 +305,7 @@ def build_unet_plan(
     num_levels: int = 5,
     stem_kernel: int = 5,
     presorted: bool = False,
+    assume_unique: bool = False,
 ) -> UNetPlan:
     """Build the full per-batch plan from stride-1 voxel coords.
 
@@ -318,10 +320,19 @@ def build_unet_plan(
         (true for host/device quantize output and their batch concats) —
         skips the level-0 lexsort. Pool levels always re-sort: parent keys
         of sorted children are NOT sorted (x>>1 ties reorder across y/z).
+      assume_unique: the caller PROMISES coords carries no duplicate
+        (b,x,y,z) rows and caps[0] == coords rows — skips the level-0
+        dedup bookkeeping (true for the voxel-level LaserMix re-batch,
+        whose keys are unique by band-parity construction).
     """
     assert len(caps) == num_levels
     hi, lo = encode_coords(coords, valid)
-    uniq0 = sorted_unique_presorted if presorted else sorted_unique
+    if presorted:
+        uniq0 = sorted_unique_presorted
+    elif assume_unique and caps[0] == coords.shape[0]:
+        uniq0 = sorted_unique_nodup
+    else:
+        uniq0 = sorted_unique
     (uh, ul), rep, inverse, count = uniq0(hi, lo, caps[0])
 
     # the 27 k=3 offsets are a subset of the 125 k=5 stem offsets, so level 0

@@ -311,7 +311,12 @@ def _mixed_plan_voxel(cfg: DiscoverConfig, plan, feats0: jax.Array,
     g = lasermix_voxel_groups(
         lvl0.coords, is_sup, cfg.num_sup_scans, num_areas, cfg.voxel_size)
     new_coords = jnp.concatenate([g[:, None], lvl0.coords[:, 1:4]], axis=1)
-    mix_plan = build_unet_plan(new_coords, lvl0.valid, cfg.mix_voxel_caps)
+    # assume_unique: band parity is a function of coordinates, so the two
+    # copies of a coordinate duplicated across a sup/unsup pair land in
+    # opposite mixed scans — the re-batched key set never has duplicates
+    # (see coords.sorted_unique_nodup)
+    mix_plan = build_unet_plan(new_coords, lvl0.valid, cfg.mix_voxel_caps,
+                               assume_unique=True)
     cap0 = lvl0.coords.shape[0]
     mix_ok = mix_plan.rep < cap0
     mix_safe = jnp.where(mix_ok, mix_plan.rep, 0)

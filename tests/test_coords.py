@@ -312,3 +312,39 @@ def test_presorted_plan_on_device_quantize_output():
     p1 = build_unet_plan(vox["coords"], vox["valid"], caps, presorted=True)
     for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_build_unet_plan_assume_unique_identical():
+    """The voxel-level LaserMix re-batch feeds duplicate-free coords into
+    `build_unet_plan(assume_unique=True)` — the nodup fast path must be
+    bit-identical to the general sort path (incl. rep/inverse semantics)."""
+    from gcdlss_tpu.ops.plan import build_unet_plan
+
+    rng = np.random.default_rng(21)
+    n = 768
+    base = rng.integers(-12, 12, (n // 2, 3)).astype(np.int32)
+    c0 = np.concatenate([np.zeros((n // 2, 1), np.int32), base], 1)
+    c1 = np.concatenate(
+        [np.ones((n // 2, 1), np.int32),
+         base + rng.integers(0, 2, (n // 2, 3)).astype(np.int32)], 1)
+    c = np.concatenate([c0, c1])
+    key = ((c[:, 0].astype(np.int64) << 45)
+           + ((c[:, 1] + 64).astype(np.int64) << 30)
+           + ((c[:, 2] + 64).astype(np.int64) << 15)
+           + (c[:, 3] + 64))
+    _, ui = np.unique(key, return_index=True)
+    c = c[np.sort(ui)]
+    m = len(c)
+    coords = np.zeros((n, 4), np.int32)
+    coords[:m] = c
+    # re-batch by a coordinate parity (mimics lasermix_voxel_groups):
+    # unique (group, x, y, z) keys by construction
+    g = ((coords[:, 1] + coords[:, 2]) % 2).astype(np.int32) * 2 + coords[:, 0]
+    coords = np.concatenate([g[:, None], coords[:, 1:4]], 1)
+    valid = np.arange(n) < m
+    caps = (n, max(n // 2, 256), 256, 256, 256)
+    p0 = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), caps)
+    p1 = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), caps,
+                         assume_unique=True)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
