@@ -274,9 +274,11 @@ def _gather_all_offsets(i, win, ss_ref, rel_ref, gst, *, B, WK, K, C2):
         @pl.when(any_k)
         def _(k=k, ssv=ssv, nts=nts):
             rel2 = rel_ref[k:k + 1, :]  # [1, B]
-            relb = pltpu.repeat(rel2, C2, axis=0)  # [C2, B]
-            div = relb >> 7
-            mod = relb & 127
+            # div/mod on the [1, B] row BEFORE the C2-row repeat: two
+            # [C2, B]-sized passes (the repeats) instead of three
+            # (repeat + shift + and at full size)
+            div = pltpu.repeat(rel2 >> 7, C2, axis=0)  # [C2, B]
+            mod = pltpu.repeat(rel2 & 127, C2, axis=0)
             for cch in range(nch):
                 nt = nts[cch]
                 base = pl.multiple_of(ssv[cch] - nt, 128)
