@@ -298,6 +298,25 @@ def _build_cube_neighbor_map(coords, valid, key_hi, key_lo, k1: int):
     return jnp.concatenate([half_map, center.T, trans], axis=1)
 
 
+def plan_capacity_overflow(plan: "UNetPlan") -> jax.Array:
+    """Total unique voxels dropped by per-level capacity limits (int32).
+
+    `LevelPlan.count` is the TRUE unique count at each level (computed
+    before capacity clamping in `sorted_unique`), while only the first
+    `cap` sorted groups get rows — overflow silently removes the highest
+    (batch, x) regions of the batch from that level. Surface this in train
+    metrics: a persistently non-zero value means the configured
+    `voxel_caps` under-provision the workload and results are not
+    reference-faithful (MinkowskiEngine keeps every voxel). See BENCH.md
+    round-5 capacity audit.
+    """
+    tot = jnp.zeros((), jnp.int32)
+    for lvl in plan.levels:
+        kept = jnp.sum(lvl.valid.astype(jnp.int32))
+        tot = tot + jnp.maximum(lvl.count - kept, 0)
+    return tot
+
+
 def build_unet_plan(
     coords: jax.Array,
     valid: jax.Array,

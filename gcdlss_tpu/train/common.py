@@ -16,15 +16,23 @@ from ..ops.plan import build_unet_plan
 def default_caps(n0: int) -> tuple:
     """Per-level voxel capacities for a stride-1 capacity n0.
 
-    LiDAR scans are 2D surfaces embedded in 3D, so stride-2 pooling removes
-    roughly 40-50% of voxels per level (measured on synthetic + real scans);
-    these ratios keep ~2x headroom at the coarse levels.
+    Stride-2 pooling of 5 cm LiDAR voxels sheds only ~20-40% per level
+    (scans are thin 2D surfaces; far-field voxels survive every level as
+    singleton chains). Measured un-truncated populations on the bench
+    workload (4 x 80k-pt scans at cap0 = 276 480): 264 903 / 215 086 /
+    154 657 / 104 775 / 63 338 — i.e. 0.78 / 0.56 / 0.38 / 0.23 of cap0.
+    These ratios carry 13-18% headroom over that chain. The pre-round-5
+    ratios (0.60/0.30/0.13/0.06) silently truncated 23-74% of the L1-L4
+    voxels at KITTI scale — spatially biased, since sorted-key capacity
+    overflow drops the highest (batch, x) regions wholesale (BENCH.md
+    round-5 capacity audit); `plan_capacity_overflow` now surfaces any
+    residual truncation as a per-step metric.
     """
 
     def r(x):
         return max(256, int(-(-x // 256)) * 256)
 
-    return (n0, r(n0 * 0.60), r(n0 * 0.30), r(n0 * 0.13), r(n0 * 0.06))
+    return (n0, r(n0 * 0.88), r(n0 * 0.64), r(n0 * 0.44), r(n0 * 0.27))
 
 
 def make_sgd(cfg, schedule):

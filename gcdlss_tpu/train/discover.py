@@ -44,7 +44,7 @@ from ..algo.kmeans import cosine_kmeans
 from ..algo.hungarian_jax import hungarian_small
 from ..algo.queue import FeatureQueue, queue_init, queue_push, queue_flatten
 from ..eval.metrics import confusion_update
-from ..ops.plan import build_unet_plan
+from ..ops.plan import build_unet_plan, plan_capacity_overflow
 from ..ops.voxelize import sparse_quantize
 from .common import make_sgd
 from .schedule import make_lr_schedule
@@ -633,11 +633,18 @@ def _discover_step_impl(
         lambda new, old: jnp.where(has_novel, new, old), new_queue, state.queue
     )
 
+    plan_ovf = plan_capacity_overflow(plan)
+    if mix_plan is not None:
+        plan_ovf = plan_ovf + plan_capacity_overflow(mix_plan)
     metrics.update(
         {
             "tau": tau,
             "n_cand": n_cand,
             "cand_overflow": jnp.maximum(n_cand - cand_cap, 0),
+            # unique voxels dropped by voxel_caps/mix_voxel_caps capacity
+            # limits (main + mixed plans); persistently non-zero means the
+            # caps under-provision the workload (BENCH.md capacity audit)
+            "plan_overflow": plan_ovf,
             "n_rel": n_rel,
             "has_novel": has_novel.astype(jnp.int32),
         }

@@ -119,7 +119,10 @@ def pretrain_train_step(state: TrainState, batch: dict, cfg: PretrainConfig):
         opt_state=opt_state,
         step=state.step + 1,
     )
-    return new_state, {"loss": loss}
+    from ..ops.plan import plan_capacity_overflow
+
+    return new_state, {"loss": loss,
+                       "plan_overflow": plan_capacity_overflow(plan)}
 
 
 @partial(jax.jit, static_argnames=("cfg",))

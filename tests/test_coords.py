@@ -348,3 +348,33 @@ def test_build_unet_plan_assume_unique_identical():
     for a, b in zip(jax.tree_util.tree_leaves(p0),
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_plan_capacity_overflow_metric():
+    """`plan_capacity_overflow` reports the unique voxels dropped by
+    per-level caps (0 when capacities fit — the default_caps contract)."""
+    from gcdlss_tpu.ops.plan import build_unet_plan, plan_capacity_overflow
+    from gcdlss_tpu.train.common import default_caps
+
+    rng = np.random.default_rng(5)
+    n = 2048
+    # surface-like cloud (the geometry the default ratios are tuned for —
+    # LiDAR scans are 2D surfaces): a noisy ground plane patch
+    xy = rng.uniform(-8, 8, size=(int(n * 0.9), 2))
+    z = rng.normal(0, 0.05, size=(len(xy), 1))
+    pts = np.concatenate([xy, z], axis=1)
+    q = np.floor(pts / 0.08).astype(np.int32)
+    c = np.unique(
+        np.concatenate([np.zeros((len(q), 1), np.int32), q], axis=1), axis=0)
+    coords = np.zeros((n, 4), np.int32)
+    coords[: len(c)] = c
+    valid = np.arange(n) < len(c)
+
+    # tiny coarse caps force truncation: the metric must report it
+    tight = (n, 256, 256, 256, 256)
+    p_tight = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), tight)
+    assert int(plan_capacity_overflow(p_tight)) > 0
+
+    roomy = default_caps(n)
+    # default ratios must hold a surface workload with zero truncation
+    p_roomy = build_unet_plan(jnp.asarray(coords), jnp.asarray(valid), roomy)
+    assert int(plan_capacity_overflow(p_roomy)) == 0
