@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from ..ops.conv import gather_conv
+from ..ops.conv import gather_conv, paired_gather_conv
 from ..ops.asym import (
     offset_subset,
     pool_coords,
@@ -108,6 +108,20 @@ class AsymSubMConv(nn.Module):
             "kernel", _kaiming_conv_init(len(cols)),
             (len(cols), x.shape[-1], self.features),
         )
+        # Axis-subset offset lists stay negation-symmetric in product order
+        # (a k==1 axis keeps d==0, which negation preserves), so the sliced
+        # rulebook satisfies the fused kernel's adjoint convention
+        # (column K-1-k == offset -k) and routes straight through it — the
+        # XLA gather path left the Cylinder3D step at 0.015 scans/s
+        # (BENCH.md round-5 Cylinder3D entry).
+        from ..ops import fused_conv as fc
+
+        n, ci = x.shape
+        offs = KERNEL_OFFSETS_3[cols]
+        symmetric = bool(((offs + offs[::-1]) == 0).all())
+        if (symmetric and fc.enabled_on()
+                and fc.supported(n, ci=ci, kernel_volume=len(cols))):
+            return mask_rows(fc.fused_subm_conv(x, nbr, w), valid)
         return mask_rows(gather_conv(x, nbr, w, symmetric_adjoint=True), valid)
 
 
@@ -148,7 +162,10 @@ class AsymmeDownBlock(nn.Module):
         w = self.param(
             "pool_kernel", _kaiming_conv_init(27), (27, self.features, self.features)
         )
-        pooled = mask_rows(gather_conv(res, edge.down_map, w), next_valid)
+        # paired gather adjoint: up_map IS down_map's adjoint book at the
+        # same offset index (ops/asym pairing) — avoids XLA scatter-adds
+        pooled = mask_rows(
+            paired_gather_conv(res, edge.down_map, edge.up_map, w), next_valid)
         return pooled, res
 
 
@@ -163,7 +180,9 @@ class AsymmeUpBlock(nn.Module):
         wu = self.param(
             "up_kernel", _kaiming_conv_init(27), (27, self.features, self.features)
         )
-        up = mask_rows(gather_conv(h, edge.up_map, wu), fine_lvl.valid)
+        up = mask_rows(
+            paired_gather_conv(h, edge.up_map, edge.down_map, wu),
+            fine_lvl.valid)
         up = up + skip
         up = _ConvActBN(self.features, tuple(_SUB_133), name="c1")(up, fine_lvl.nbr27, fine_lvl.valid, train)
         up = _ConvActBN(self.features, tuple(_SUB_313), name="c2")(up, fine_lvl.nbr27, fine_lvl.valid, train)

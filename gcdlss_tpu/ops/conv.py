@@ -263,6 +263,84 @@ def gather_conv(
     return out.astype(feats.dtype)
 
 
+@jax.custom_vjp
+def _paired_gather_conv_core(feats, nbr_fwd, nbr_adj, weight):
+    return _gather_conv_fwd_impl(feats, nbr_fwd, weight, None)
+
+
+def _pgc_fwd(feats, nbr_fwd, nbr_adj, weight):
+    return (_gather_conv_fwd_impl(feats, nbr_fwd, weight, None),
+            (feats, nbr_fwd, nbr_adj, weight))
+
+
+def _pgc_bwd(res, g_out):
+    """All-gather adjoint via the paired rulebook.
+
+    `nbr_adj` column d lists, for each INPUT row f, the output row o with
+    (o, f, d) in the forward book (exactly the down_map/up_map pairing of
+    `ops/asym`, where the adjoint of gathering fine site stride*o + d is
+    gathering coarse site (f - d)/stride at the SAME offset index). This
+    replaces the generic scatter-add dX path — XLA scatter-adds measured
+    pathologically slow on TPU for these books (the Cylinder3D step ran
+    at 0.015 scans/s on them, BENCH.md round-5) — with pure row-gathers.
+    """
+    feats, nbr_fwd, nbr_adj, weight = res
+    gb = g_out.astype(feats.dtype)
+
+    def step_dw(_, inp):
+        nbr_k, w_k = inp
+        del w_k
+        mask = (nbr_k >= 0)[:, None].astype(feats.dtype)
+        safe = jnp.where(nbr_k >= 0, nbr_k, 0)
+        g = feats[safe] * mask
+        return 0, jnp.dot(g.T, gb, preferred_element_type=jnp.float32)
+
+    _, dW = jax.lax.scan(step_dw, 0, (nbr_fwd.T, weight))
+
+    def step_dx(dx, inp):
+        nbr_k, w_k = inp  # adj column d, weight W_d
+        mask = (nbr_k >= 0)[:, None].astype(feats.dtype)
+        safe = jnp.where(nbr_k >= 0, nbr_k, 0)
+        go = gb[safe] * mask
+        return dx + jnp.dot(
+            go.astype(jnp.float32), w_k.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        ), None
+
+    dx, _ = jax.lax.scan(
+        step_dx, _zeros_like_vma(feats.shape, feats, nbr_adj, g_out),
+        (nbr_adj.T, weight),
+    )
+    return dx.astype(feats.dtype), None, None, dW.astype(weight.dtype)
+
+
+_paired_gather_conv_core.defvjp(_pgc_fwd, _pgc_bwd)
+
+
+def paired_gather_conv(
+    feats: jax.Array,
+    nbr_fwd: jax.Array,
+    nbr_adj: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    compute_dtype=None,
+) -> jax.Array:
+    """Strided sparse conv with an explicit adjoint rulebook (all gathers).
+
+    out[o] = sum_d W[d] @ feats[nbr_fwd[o, d]]; backward gathers g_out via
+    `nbr_adj` (see `_pgc_bwd`). Both books must enumerate the SAME
+    (o, f, d) pairs from their two sides — `ops/asym.strided_down_map` /
+    `inverse_up_map` are such a pair (in either role order).
+    """
+    dt = compute_dtype or feats.dtype
+    out = _paired_gather_conv_core(
+        feats.astype(dt), nbr_fwd, nbr_adj, weight.astype(dt))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(feats.dtype)
+
+
 def down_conv(
     feats: jax.Array,
     parent: jax.Array,

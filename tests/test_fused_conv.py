@@ -373,3 +373,51 @@ def test_fused_chunked_matches_unchunked(monkeypatch):
     # single-call accumulation
     np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_asym_subset_books_match_gather():
+    """Cylinder3D routes axis-subset (1,3,3)/(3,1,3)/(3,1,1) rulebooks —
+    sliced columns of the 27-offset map, negation-symmetric in product
+    order — through the fused kernel. Fwd + grads must match the XLA
+    gather path on these K=9 / K=3 books (new k8 geometries: 16 and 8)."""
+    from gcdlss_tpu.ops.asym import offset_subset
+
+    rng = np.random.default_rng(7)
+    cap = 2048
+    nbr27, feats, valid = _nbr_and_feats(rng, cap, 32, "k3")
+    cot = jnp.asarray(rng.standard_normal((cap, 24)).astype(np.float32))
+    for shape in ((1, 3, 3), (3, 1, 3), (3, 1, 1)):
+        cols = offset_subset(shape)
+        offs = np.array(
+            [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+             for dz in (-1, 0, 1)], np.int32)[cols]
+        assert ((offs + offs[::-1]) == 0).all()  # the routing precondition
+        nbr = nbr27[:, cols]
+        k = len(cols)
+        w = jnp.asarray(
+            rng.standard_normal((k, 32, 24)).astype(np.float32) * 0.1)
+
+        ref = gather_conv(feats, nbr, w, symmetric_adjoint=True)
+        out = fc.fused_subm_conv(feats, nbr, w, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.05)
+
+        def loss_ref(f, ww):
+            return jnp.sum(
+                gather_conv(f, nbr, ww, symmetric_adjoint=True).astype(
+                    jnp.float32) * cot)
+
+        def loss_fus(f, ww):
+            return jnp.sum(
+                fc.fused_subm_conv(f, nbr, ww, interpret=True).astype(
+                    jnp.float32) * cot)
+
+        gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+        gx_f, gw_f = jax.grad(loss_fus, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(
+            np.asarray(gx_f, np.float32), np.asarray(gx_r, np.float32),
+            rtol=0.1, atol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(gw_f), np.asarray(gw_r), rtol=0.1,
+            atol=0.05 * float(jnp.max(jnp.abs(gw_r))))
