@@ -120,7 +120,8 @@ class AsymSubMConv(nn.Module):
         offs = KERNEL_OFFSETS_3[cols]
         symmetric = bool(((offs + offs[::-1]) == 0).all())
         if (symmetric and fc.enabled_on()
-                and fc.supported(n, ci=ci, kernel_volume=len(cols))):
+                and fc.supported(n, ci=ci, kernel_volume=len(cols))
+                and fc.fits_vmem(ci, self.features, len(cols))):
             return mask_rows(fc.fused_subm_conv(x, nbr, w), valid)
         return mask_rows(gather_conv(x, nbr, w, symmetric_adjoint=True), valid)
 

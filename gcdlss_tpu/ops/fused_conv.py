@@ -1162,6 +1162,33 @@ def fused_subm_conv_T(
     return out.astype(xT.dtype)
 
 
+def fits_vmem(ci: int, co: int, kernel_volume: int) -> bool:
+    """Would the fwd AND bwd kernels fit the scoped-VMEM budget at their
+    most conservative geometry (half window, single buffer)?
+
+    Mirrors `_fwd_geometry`'s estimator, which silently returned its last
+    fallback even when over budget — fine for every MinkUNet shape (the
+    widest, the 384->256 decoder concat, estimates 13.9 MB), but the
+    Cylinder3D 512-ch stacks OOM'd Mosaic at 34.26 M scoped (round-5 HW
+    log). Callers with wide channel counts must check this and fall back
+    to the XLA gather path."""
+    cpad = _cpad_for(ci)
+    copad = _cpad_for(co)
+    k8 = _round_up(kernel_volume, 8)
+    half = max(SUBWIN, WINDOW // 2)
+    budget = 14 * 1024 * 1024
+    fwd = ((cpad // 2) * half * 4          # window buffer
+           + k8 * (cpad // 2) * BLOCK * 4  # gst
+           + k8 * cpad * co * 2            # wflat (resident)
+           + 2 * BLOCK * co * 4)           # out blocks
+    bwd = ((copad // 2) * half * 4
+           + k8 * (copad // 2) * BLOCK * 4
+           + k8 * copad * cpad * 2         # wmat (resident)
+           + 32 * k8 * copad * 4           # dw_acc at the smallest ci_chunk
+           + 2 * cpad * BLOCK * 4 + (cpad // 2) * BLOCK * 4 * 2)
+    return fwd <= budget and bwd <= budget
+
+
 def supported(n_rows: int, ci: int | None = None,
               kernel_volume: int | None = None) -> bool:
     """Shape gate: the kernel needs whole blocks and at least one window.
