@@ -287,6 +287,15 @@ t("EMA tree update", tree_updates, state.params_s, state.params_t)
 
 
 # ---- reference: the full step -------------------------------------------------
+# Free the phase intermediates first: at post-audit caps the live phase
+# outputs (plans, teacher logits/feats, grads) plus the full step's own
+# working set RESOURCE_EXHAUSTED the chip (observed 2026-08-21). The full
+# step must run against a clean pool.
+del plan, feats, mapped, feats0, ok, dummy_t, feats_t, mix_plan
+del mxyz, mfeats, mlabels, mvalid, vox, mapped0, is_sup, pseudo_vox, pseudo
+import gc
+gc.collect()
+
 # discover_train_step donates its state arg, so it must be timed bench-style
 # (threading the returned state) — re-calling with the same donated buffers
 # raises a TPU backend error on this rig.
