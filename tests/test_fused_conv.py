@@ -421,3 +421,22 @@ def test_fused_asym_subset_books_match_gather():
         np.testing.assert_allclose(
             np.asarray(gw_f), np.asarray(gw_r), rtol=0.1,
             atol=0.05 * float(jnp.max(jnp.abs(gw_r))))
+
+
+def test_fits_vmem_contract():
+    """Every MinkUNet34 conv shape must stay inside the fused kernel's
+    scoped-VMEM estimate (they all compile on HW today); the Cylinder3D
+    512-ch stacks must be rejected (Mosaic OOM'd at 34.26M scoped,
+    BENCH.md round-5)."""
+    minkunet_shapes = [
+        (1, 32, 125),                      # stem
+        (32, 32, 27), (32, 64, 27), (64, 64, 27), (64, 128, 27),
+        (128, 128, 27), (128, 256, 27), (256, 256, 27),
+        (384, 256, 27),                    # widest decoder concat
+        (256, 128, 27), (192, 96, 27), (128, 96, 27), (96, 96, 27),
+    ]
+    for ci, co, k in minkunet_shapes:
+        assert fc.fits_vmem(ci, co, k), (ci, co, k)
+    assert not fc.fits_vmem(512, 512, 27)
+    assert not fc.fits_vmem(512, 512, 9)
+    assert fc.fits_vmem(256, 256, 9)
