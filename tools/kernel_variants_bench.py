@@ -11,6 +11,7 @@ Variants:
 import os, sys, time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -70,7 +71,9 @@ print("far:", int(far_count))
 
 B, W, WK = fc.BLOCK, fc.WINDOW, fc.SUBWIN
 K = 27
-cpad = 128
+# cpad follows C (e.g. C=256 to price the post-audit L3/L4 geometry where
+# the fused conv now spends most of the step — BENCH.md round-5 card)
+cpad = fc._cpad_for(CI)
 C2 = cpad // 2
 
 
@@ -166,12 +169,13 @@ def run_variant(mode, n=10):
                            out_shape=jax.ShapeDtypeStruct((N, CO), jnp.float32))
         args = (ws, ss, xT, relT, wflat)
     jf = jax.jit(f)
-    t0 = time.time(); o = jax.block_until_ready(jf(*args))
+    t0 = time.time(); o = jf(*args)
+    import numpy as _np
+    _np.asarray(jax.device_get(o.ravel()[:1]))  # block_until_ready does not
+    # synchronize through the axon tunnel (tools/tpu_timing.py) — fetch
     print(f"{mode}: compile+1st {time.time()-t0:.1f}s", flush=True)
-    t0 = time.time()
-    for _ in range(n):
-        o = jax.block_until_ready(jf(*args))
-    dt = (time.time() - t0) / n
+    from tpu_timing import device_time
+    dt = device_time(jf, *args, n=n)
     print(f"{mode}: {dt*1e3:.2f} ms", flush=True)
     return o, dt
 
